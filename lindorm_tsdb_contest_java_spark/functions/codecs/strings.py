@@ -1,0 +1,107 @@
+"""String codecs: per-block dictionary + zstd, and length-prefixed text stream.
+
+Capability analogs of the reference's small-string dictionary path
+(`compress/StringCompress.java:129-250`: <=4 distinct values -> bit codes,
+else raw concat, zstd-3 envelope) and the big-string path
+(`file/TSFileService.java:662-667`: concat + zstd-3). Our dictionary is
+general-cardinality (pandas factorize -> varint codes) and the text stream
+is varint lengths + concatenated UTF-8, both inside a zstd-3 envelope.
+
+Encoding uses pyarrow's string-array buffers to get offsets/data without
+per-row Python.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .framing import pack_sections, unpack_sections, zstd_compress, zstd_decompress
+from .varint import varint_decode, varint_encode
+
+_HDR = struct.Struct("<BQ")  # mode, n
+_MODE_RAW = 0
+_MODE_DICT = 1
+
+
+def _utf8_lengths_and_data(values) -> tuple[np.ndarray, bytes]:
+    arr = pa.array(values, type=pa.string())
+    if arr.null_count:
+        raise ValueError("nulls not allowed (reference write contract)")
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    buffers = arr.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=np.int32, count=len(arr) + 1 + arr.offset)
+    offsets = offsets[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data = buffers[2].to_pybytes()[offsets[0] : offsets[-1]] if buffers[2] is not None else b""
+    lengths = np.diff(offsets)
+    return lengths, data
+
+
+def text_encode(values, level: int = 3) -> bytes:
+    """Arbitrary strings -> <mode=0,n> + zstd(varint lengths || utf8 concat)."""
+    lengths, data = _utf8_lengths_and_data(values)
+    payload = pack_sections(varint_encode(lengths.astype(np.uint64)), data)
+    return _HDR.pack(_MODE_RAW, len(lengths)) + zstd_compress(payload, level)
+
+
+def _text_decode_body(n: int, payload: bytes) -> np.ndarray:
+    lens_blob, data = unpack_sections(payload, 2)
+    lengths = varint_decode(lens_blob, n).astype(np.int32)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    arr = pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)
+    )
+    return arr.to_numpy(zero_copy_only=False)
+
+
+def text_decode(blob: bytes) -> np.ndarray:
+    mode, n = _HDR.unpack_from(blob, 0)
+    if mode != _MODE_RAW:
+        raise ValueError(f"not a text stream (mode {mode})")
+    if n == 0:
+        return np.zeros(0, dtype=object)
+    return _text_decode_body(n, zstd_decompress(blob[_HDR.size :]))
+
+
+def dict_encode(values, level: int = 3, max_card_frac: float = 0.5) -> bytes:
+    """Low-cardinality strings -> dictionary codes + dictionary blob.
+
+    Falls back to the raw text stream when the column isn't dictionary-
+    friendly (cardinality > max_card_frac * n), mirroring the reference's
+    dict-vs-raw dispatch (StringCompress.java:146-166).
+    """
+    codes, uniques = pd.factorize(pd.Series(values, dtype=object), sort=False)
+    n = len(codes)
+    if n > 0 and len(uniques) > max(4, int(n * max_card_frac)):
+        return text_encode(values, level)
+    lengths, data = _utf8_lengths_and_data(uniques.astype(object))
+    payload = pack_sections(
+        varint_encode(np.asarray([len(uniques)], dtype=np.uint64)),
+        varint_encode(lengths.astype(np.uint64)),
+        data,
+        varint_encode(codes.astype(np.uint64)),
+    )
+    return _HDR.pack(_MODE_DICT, n) + zstd_compress(payload, level)
+
+
+def dict_decode(blob: bytes) -> np.ndarray:
+    mode, n = _HDR.unpack_from(blob, 0)
+    if mode == _MODE_RAW:
+        return text_decode(blob)
+    if n == 0:
+        return np.zeros(0, dtype=object)
+    payload = zstd_decompress(blob[_HDR.size :])
+    n_uniq_blob, lens_blob, data, codes_blob = unpack_sections(payload, 4)
+    n_uniq = int(varint_decode(n_uniq_blob, 1)[0])
+    lengths = varint_decode(lens_blob, n_uniq).astype(np.int32)
+    offsets = np.zeros(n_uniq + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    uniques = pa.StringArray.from_buffers(
+        n_uniq, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)
+    ).to_numpy(zero_copy_only=False)
+    codes = varint_decode(codes_blob, n).astype(np.int64)
+    return uniques[codes]
