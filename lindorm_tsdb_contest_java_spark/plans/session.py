@@ -1,0 +1,36 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Single place for the configs the north_rule calls out: AQE (runtime
+re-planning + skew-join splitting), Arrow-batched Python UDF transfer,
+UTC session timezone (determinism), and sane shuffle-partition counts for
+the local[N] harness (on a real cluster these come from spark-submit).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "lindorm-tsdb-spark",
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle = shuffle_partitions or max(cpus, 8)
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.maxResultSize", "2g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

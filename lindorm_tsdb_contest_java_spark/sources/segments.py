@@ -1,0 +1,247 @@
+"""Columnar block segments: encode (applyInPandas) and decode (mapInPandas).
+
+Spark-first re-expression of the reference's write path
+(`file/TSFileService.java:598-737`: per-vin 250-row flush → pivot to
+column arrays → per-column codecs → append + index entry with zone map
+and AggBucket). Here a *segment* is one encoded row per
+``(conv_bucket, time_chunk)`` group:
+
+- routing: ``conv_bucket = pmod(xxhash64(conv_id), n_buckets)`` — the
+  analog of the reference's ``vinIndex % 60`` shard routing
+  (TSFileService.java:138,603), expressed as a partition column so
+  Catalyst prunes on it;
+- zone map: ``min_ts/max_ts/n_rows`` columns — the analog of the block
+  ``Index`` (index/Index.java:11-168), pushed down as ordinary parquet
+  column predicates;
+- pre-aggregates: per-metric min/max/sum columns — the analog of
+  ``AggBucket`` (index/AggBucket.java:5-36), letting covered-range
+  aggregates skip decode entirely;
+- blobs: per-column codec output (ts/turn_idx → delta-of-delta varint;
+  latency → Gorilla XOR; conv_id/role/tool → dict+zstd; text → length-
+  prefixed zstd stream).
+
+Rows inside a segment are sorted by the stable ``(conv_id, turn_idx, ts)``
+order — the per-row invariant the round-trip test checks text equality
+under (BASELINE.json input_hint).
+
+Everything is vectorized pandas/Arrow — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType, TimestampType,
+)
+
+from ..functions.codecs import (
+    dict_decode, dict_encode, dod_decode, dod_encode,
+    gorilla_decode, gorilla_encode, text_decode, text_encode,
+)
+
+DEFAULT_N_BUCKETS = 64
+DEFAULT_CHUNK_US = 6 * 3600 * 1_000_000  # 6h time chunks
+
+TRANSCRIPT_SCHEMA = StructType([
+    StructField("conv_id", StringType(), False),
+    StructField("turn_idx", IntegerType(), False),
+    StructField("role", StringType(), False),
+    StructField("text", StringType(), False),
+    StructField("tool", StringType(), False),
+    StructField("ts", TimestampType(), False),
+])
+
+# canonical = transcripts + derived metric columns (FIXTURES.md §2)
+CANONICAL_COLUMNS = [
+    "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    "ts_us", "text_len", "latency_s", "conv_bucket", "time_chunk",
+]
+
+SEGMENT_SCHEMA = StructType([
+    StructField("conv_bucket", IntegerType(), False),
+    StructField("time_chunk", LongType(), False),
+    StructField("n_rows", LongType(), False),
+    StructField("n_convs", LongType(), False),
+    StructField("min_ts_us", LongType(), False),
+    StructField("max_ts_us", LongType(), False),
+    # AggBucket analog: per-metric zone stats
+    StructField("text_len_min", LongType(), False),
+    StructField("text_len_max", LongType(), False),
+    StructField("text_len_sum", LongType(), False),
+    StructField("latency_min", DoubleType(), False),
+    StructField("latency_max", DoubleType(), False),
+    StructField("latency_sum", DoubleType(), False),
+    StructField("turn_idx_min", LongType(), False),
+    StructField("turn_idx_max", LongType(), False),
+    # codec blobs
+    StructField("blob_ts", BinaryType(), False),
+    StructField("blob_turn_idx", BinaryType(), False),
+    StructField("blob_text_len", BinaryType(), False),
+    StructField("blob_latency", BinaryType(), False),
+    StructField("blob_conv_id", BinaryType(), False),
+    StructField("blob_role", BinaryType(), False),
+    StructField("blob_tool", BinaryType(), False),
+    StructField("blob_text", BinaryType(), False),
+    StructField("encoded_bytes", LongType(), False),
+])
+
+_BLOB_OF = {
+    "ts_us": "blob_ts", "turn_idx": "blob_turn_idx", "text_len": "blob_text_len",
+    "latency_s": "blob_latency", "conv_id": "blob_conv_id", "role": "blob_role",
+    "tool": "blob_tool", "text": "blob_text",
+}
+
+
+def canonicalize(
+    df: DataFrame,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    chunk_us: int = DEFAULT_CHUNK_US,
+    dedup: bool = True,
+) -> DataFrame:
+    """Upsert-dedup + routing + derived metrics, all JVM-side built-ins.
+
+    Dedup mirrors the reference's overwrite-on-duplicate-key write
+    semantics (TSDBEngine.java:85-92): for equal (conv_id, turn_idx) the
+    newest ts wins. Routing/zone columns are plain expressions so the
+    whole stage stays in WholeStageCodegen.
+    """
+    from pyspark.sql.window import Window
+
+    out = df
+    if dedup:
+        w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+            F.col("ts").desc(), F.length("text").desc())
+        out = (out.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn"))
+    out = (
+        out.withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn("text_len", F.length("text"))
+        .withColumn(
+            "latency_s",
+            F.coalesce(
+                (F.col("ts_us") - F.lag("ts_us").over(
+                    Window.partitionBy("conv_id").orderBy("turn_idx"))) / F.lit(1e6),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn("conv_bucket",
+                    F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"))
+        .withColumn("time_chunk", F.floor(F.col("ts_us") / F.lit(chunk_us)))
+    )
+    return out.select(*CANONICAL_COLUMNS)
+
+
+def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["conv_id", "turn_idx", "ts_us"], kind="mergesort")
+    ts = pdf["ts_us"].to_numpy(np.int64)
+    turn = pdf["turn_idx"].to_numpy(np.int64)
+    tlen = pdf["text_len"].to_numpy(np.int64)
+    lat = pdf["latency_s"].to_numpy(np.float64)
+    blobs = {
+        "blob_ts": dod_encode(ts),
+        "blob_turn_idx": dod_encode(turn),
+        "blob_text_len": dod_encode(tlen),
+        "blob_latency": gorilla_encode(lat),
+        "blob_conv_id": dict_encode(pdf["conv_id"].to_numpy(object)),
+        "blob_role": dict_encode(pdf["role"].to_numpy(object)),
+        "blob_tool": dict_encode(pdf["tool"].to_numpy(object)),
+        "blob_text": text_encode(pdf["text"].to_numpy(object)),
+    }
+    return pd.DataFrame([{
+        "conv_bucket": int(pdf["conv_bucket"].iloc[0]),
+        "time_chunk": int(pdf["time_chunk"].iloc[0]),
+        "n_rows": len(pdf),
+        "n_convs": pdf["conv_id"].nunique(),
+        "min_ts_us": int(ts.min()),
+        "max_ts_us": int(ts.max()),
+        "text_len_min": int(tlen.min()),
+        "text_len_max": int(tlen.max()),
+        "text_len_sum": int(tlen.sum()),
+        "latency_min": float(lat.min()),
+        "latency_max": float(lat.max()),
+        "latency_sum": float(lat.sum()),
+        "turn_idx_min": int(turn.min()),
+        "turn_idx_max": int(turn.max()),
+        **blobs,
+        "encoded_bytes": sum(len(b) for b in blobs.values()),
+    }])
+
+
+def encode_segments(canonical: DataFrame) -> DataFrame:
+    """canonical transcripts → one encoded segment row per (bucket, chunk).
+
+    groupBy keys are the partition/zone columns, so the shuffle this
+    induces is exactly the reference's shard routing; AQE coalesces or
+    splits skewed groups at runtime.
+    """
+    return (
+        canonical
+        .groupBy("conv_bucket", "time_chunk")
+        .applyInPandas(_encode_group, schema=SEGMENT_SCHEMA)
+    )
+
+
+def decoded_row_schema(columns: list[str]) -> StructType:
+    fields = {
+        "conv_bucket": StructField("conv_bucket", IntegerType(), False),
+        "time_chunk": StructField("time_chunk", LongType(), False),
+        "conv_id": StructField("conv_id", StringType(), False),
+        "turn_idx": StructField("turn_idx", IntegerType(), False),
+        "role": StructField("role", StringType(), False),
+        "text": StructField("text", StringType(), False),
+        "tool": StructField("tool", StringType(), False),
+        "ts_us": StructField("ts_us", LongType(), False),
+        "text_len": StructField("text_len", LongType(), False),
+        "latency_s": StructField("latency_s", DoubleType(), False),
+    }
+    return StructType([fields[c] for c in columns])
+
+
+def decode_segments(segments: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """segments → per-turn rows, decoding only the requested columns.
+
+    The column-list pushdown is the analog of the reference's per-column
+    lazy decode (IntCompress.java:1299/1408 single/col-set entry points):
+    untouched blobs are never decompressed, and parquet column pruning
+    means they are never even read off disk.
+    """
+    columns = columns or ["conv_id", "turn_idx", "role", "text", "tool",
+                          "ts_us", "text_len", "latency_s"]
+    out_schema = decoded_row_schema(columns)
+    needed_blobs = sorted({_BLOB_OF[c] for c in columns if c in _BLOB_OF})
+    scan_cols = ["conv_bucket", "time_chunk", "n_rows", *needed_blobs]
+
+    def decode_iter(batches):
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                n = int(row.n_rows)
+                data = {}
+                for c in columns:
+                    if c == "conv_bucket":
+                        data[c] = np.full(n, row.conv_bucket, dtype=np.int32)
+                    elif c == "time_chunk":
+                        data[c] = np.full(n, row.time_chunk, dtype=np.int64)
+                    elif c in ("ts_us", "text_len"):
+                        data[c] = dod_decode(bytes(getattr(row, _BLOB_OF[c])))
+                    elif c == "turn_idx":
+                        data[c] = dod_decode(bytes(row.blob_turn_idx)).astype(np.int32)
+                    elif c == "latency_s":
+                        data[c] = gorilla_decode(bytes(row.blob_latency))
+                    elif c == "text":
+                        data[c] = text_decode(bytes(row.blob_text))
+                    else:  # conv_id, role, tool
+                        data[c] = dict_decode(bytes(getattr(row, _BLOB_OF[c])))
+                frames.append(pd.DataFrame(data))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return segments.select(*scan_cols).mapInPandas(decode_iter, schema=out_schema)
+
+
+def with_ts(decoded: DataFrame) -> DataFrame:
+    """Reattach a TimestampType view of ts_us."""
+    return decoded.withColumn("ts", F.timestamp_micros(F.col("ts_us")))

@@ -1,0 +1,100 @@
+"""End-to-end segment round-trip: ingest → encode → decode == source.
+
+Pins the per-row invariant from BASELINE.json: decoded per-turn text
+equals the source under stable (conv_id, turn_idx, ts) ordering; plus
+zone-map/pre-agg stats consistency and upsert-dedup semantics.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lindorm_tsdb_contest_java_spark.sources.generator import generate_dups_variant
+from lindorm_tsdb_contest_java_spark.sources.segments import (
+    canonicalize, decode_segments, encode_segments,
+)
+
+SORT = ["conv_id", "turn_idx", "ts_us"]
+
+
+@pytest.fixture(scope="module")
+def canonical(transcripts_df):
+    return canonicalize(transcripts_df, n_buckets=8).cache()
+
+
+@pytest.fixture(scope="module")
+def segments(canonical):
+    return encode_segments(canonical).cache()
+
+
+def _sorted_pdf(df, cols):
+    return df.select(*cols).toPandas().sort_values(SORT).reset_index(drop=True)
+
+
+def test_roundtrip_all_columns(canonical, segments):
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts_us", "text_len", "latency_s"]
+    src = _sorted_pdf(canonical, cols)
+    got = _sorted_pdf(decode_segments(segments), cols)
+    assert len(got) == len(src)
+    for c in ["conv_id", "turn_idx", "role", "tool", "ts_us", "text_len"]:
+        assert (got[c].to_numpy() == src[c].to_numpy()).all(), c
+    # per-turn text equality — THE per-row invariant
+    assert (got["text"].to_numpy() == src["text"].to_numpy()).all()
+    # float bit-exactness
+    assert (got["latency_s"].to_numpy().view(np.uint64)
+            == src["latency_s"].to_numpy().view(np.uint64)).all()
+
+
+def test_column_projection_decodes_only_requested(spark, segments, tmp_path):
+    # parquet-backed so we can check pushdown on a real scan, not the cache
+    path = str(tmp_path / "segments.parquet")
+    segments.write.parquet(path)
+    seg = spark.read.parquet(path)
+    got = decode_segments(seg, ["conv_id", "ts_us"])
+    assert got.columns == ["conv_id", "ts_us"]
+    assert got.count() > 0
+    # the parquet ReadSchema must exclude unrequested blobs (late materialization)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines and all("blob_text" not in l for l in scan_lines), plan
+
+
+def test_zone_map_stats_match_data(canonical, segments):
+    expect = (canonical.groupBy("conv_bucket", "time_chunk").agg(
+        F.count("*").alias("n_rows"),
+        F.min("ts_us").alias("min_ts_us"), F.max("ts_us").alias("max_ts_us"),
+        F.sum("text_len").alias("text_len_sum"),
+        F.min("latency_s").alias("latency_min"), F.max("latency_s").alias("latency_max"),
+    ).toPandas().sort_values(["conv_bucket", "time_chunk"]).reset_index(drop=True))
+    got = (segments.select("conv_bucket", "time_chunk", "n_rows", "min_ts_us",
+                           "max_ts_us", "text_len_sum", "latency_min", "latency_max")
+           .toPandas().sort_values(["conv_bucket", "time_chunk"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"n_rows": "int64"}), expect.astype({"n_rows": "int64"}),
+        check_dtype=False)
+
+
+def test_compression_ratio(canonical, segments):
+    raw_bytes = canonical.select(
+        F.sum(F.length("text") + F.length("conv_id") + F.length("role")
+              + F.length("tool") + F.lit(8 + 4 + 8 + 8))).collect()[0][0]
+    enc_bytes = segments.agg(F.sum("encoded_bytes")).collect()[0][0]
+    assert enc_bytes < raw_bytes, f"no compression: {enc_bytes} vs {raw_bytes}"
+
+
+def test_upsert_dedup_newest_wins(spark, transcripts_pdf):
+    dups = generate_dups_variant(transcripts_pdf, frac=0.05)
+    df = spark.createDataFrame(dups)
+    canon = canonicalize(df, n_buckets=4)
+    assert canon.count() == len(transcripts_pdf)
+    # every key kept exactly once and edited rows won (newer ts)
+    edited = canon.filter(F.col("text").startswith("[edited] ")).count()
+    n_dup = int(dups.duplicated(["conv_id", "turn_idx"]).sum())
+    assert edited == n_dup
+
+
+def test_bucket_routing_is_stable(canonical):
+    # same conv_id always lands in the same bucket
+    assert (canonical.groupBy("conv_id")
+            .agg(F.countDistinct("conv_bucket").alias("n")).filter("n > 1").count()) == 0
