@@ -1,0 +1,168 @@
+"""Continuous-aggregate retention tiers (1m → 1h → 1d) + gap-fill.
+
+Spark-first analog of the reference's two-level pre-aggregate hierarchy:
+block `AggBucket` (per-column min/max/sum + count, index/AggBucket.java:5-36)
+rolled up 100-at-a-time into `BigBucket` (index/MapIndex.java:231-248).
+Here each tier is an ordinary table produced by one hash aggregate, and
+the cascade composes exactly because every tier carries only
+**decomposable** aggregates: count, sum, min, max (+ mergeable t-digest
+blobs for latency percentiles). AVG is derived from (sum, count) at read
+time, never averaged across tiers (the float-exactness rule from
+SURVEY.md §7.4). Note: we do NOT reproduce the reference's BigBucket
+min-merge bug (BigBucket.java:91 uses Math.max for iMin — dead code there,
+wrong here).
+
+Two tier families:
+- conv tiers  : key (conv_id, bucket_ms)      — accelerate per-conversation
+                aggregate/downsample (the reference's query unit);
+- rate tiers  : key (role, tool, bucket_ms)   — per-role/tool turn rates +
+                latency t-digests (target-spec additions).
+
+Gap-fill: sequence+explode window skeleton left-joined to the tier, with
+optional last-value forward fill — the reference's window-enumeration
+semantics (TSDBEngineImpl.java:420-426,664-666) generalized.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..functions.tdigest import tdigest_build, tdigest_merge
+
+MINUTE_MS = 60_000
+HOUR_MS = 3_600_000
+DAY_MS = 86_400_000
+
+TIER_WIDTHS_MS = {"1m": MINUTE_MS, "1h": HOUR_MS, "1d": DAY_MS}
+
+def _measures():
+    return [
+        F.count("*").alias("n_turns"),
+        F.sum("text_len").alias("text_len_sum"),
+        F.min("text_len").alias("text_len_min"),
+        F.max("text_len").alias("text_len_max"),
+        F.sum("latency_s").alias("latency_sum"),
+        F.min("latency_s").alias("latency_min"),
+        F.max("latency_s").alias("latency_max"),
+    ]
+
+
+def _rollup_measures():
+    return [
+        F.sum("n_turns").alias("n_turns"),
+        F.sum("text_len_sum").alias("text_len_sum"),
+        F.min("text_len_min").alias("text_len_min"),
+        F.max("text_len_max").alias("text_len_max"),
+        F.sum("latency_sum").alias("latency_sum"),
+        F.min("latency_min").alias("latency_min"),
+        F.max("latency_max").alias("latency_max"),
+    ]
+
+
+def _bucket(width_ms: int, src_col: str = "ts_us") -> F.Column:
+    # integer arithmetic: works for any epoch alignment, no F.window needed
+    return (F.floor(F.col(src_col) / F.lit(width_ms * 1000)) * F.lit(width_ms)).alias("bucket_ms")
+
+
+def build_conv_tier(canonical: DataFrame, width_ms: int = MINUTE_MS) -> DataFrame:
+    """Base tier from raw turns: one hash aggregate, map-side partials free."""
+    return canonical.groupBy("conv_id", _bucket(width_ms)).agg(*_measures())
+
+
+def rollup_conv_tier(tier: DataFrame, width_ms: int) -> DataFrame:
+    """Next retention tier from the previous one — same-shaped schema, so
+    the cascade composes (1m → 1h → 1d)."""
+    coarse = (F.floor(F.col("bucket_ms") / F.lit(width_ms)) * F.lit(width_ms)).alias("bucket_ms")
+    return tier.groupBy("conv_id", coarse).agg(*_rollup_measures())
+
+
+def with_avg(tier: DataFrame) -> DataFrame:
+    """Read-time derived averages (never stored, never averaged-of-averaged)."""
+    return tier.withColumn(
+        "text_len_avg", (F.col("text_len_sum") / F.col("n_turns")).cast("double")
+    ).withColumn("latency_avg", (F.col("latency_sum") / F.col("n_turns")).cast("double"))
+
+
+# ---------- rate tiers (role/tool rates + latency percentiles) ----------
+
+_RATE_TIER_SCHEMA = (
+    "role string, tool string, bucket_ms bigint, n_turns bigint, "
+    "latency_sum double, latency_digest binary"
+)
+
+
+def build_rate_tier(canonical: DataFrame, width_ms: int = MINUTE_MS) -> DataFrame:
+    """One applyInPandas per (role, tool, bucket): JVM-decomposable sums
+    and the t-digest are built in the same single shuffle (a grouped-agg
+    pandas UDF cannot mix with JVM aggregates in one agg)."""
+
+    def agg(key, pdf):
+        lat = pdf["latency_s"].to_numpy()
+        return pd.DataFrame([{
+            "role": key[0], "tool": key[1], "bucket_ms": key[2],
+            "n_turns": len(pdf),
+            "latency_sum": float(lat.sum()),
+            "latency_digest": tdigest_build(lat),
+        }])
+
+    return (canonical.withColumn("bucket_ms", _bucket(width_ms))
+            .groupBy("role", "tool", "bucket_ms")
+            .applyInPandas(agg, schema=_RATE_TIER_SCHEMA))
+
+
+def rollup_rate_tier(tier: DataFrame, width_ms: int) -> DataFrame:
+    def merge(key, pdf):
+        return pd.DataFrame([{
+            "role": key[0], "tool": key[1], "bucket_ms": key[2],
+            "n_turns": int(pdf["n_turns"].sum()),
+            "latency_sum": float(pdf["latency_sum"].sum()),
+            "latency_digest": tdigest_merge([bytes(b) for b in pdf["latency_digest"]]),
+        }])
+
+    coarse = (F.floor(F.col("bucket_ms") / F.lit(width_ms)) * F.lit(width_ms))
+    return (tier.withColumn("bucket_ms", coarse)
+            .groupBy("role", "tool", "bucket_ms")
+            .applyInPandas(merge, schema=_RATE_TIER_SCHEMA))
+
+
+def turn_rate(tier: DataFrame, width_ms: int) -> DataFrame:
+    return tier.withColumn("turns_per_s", F.col("n_turns") / F.lit(width_ms / 1000.0))
+
+
+# ---------- gap-fill ----------
+
+def gap_fill(
+    tier: DataFrame,
+    lb_ms: int,
+    ub_ms: int,
+    width_ms: int,
+    keys: list[str],
+    fill_columns: list[str] | None = None,
+    forward_fill: bool = False,
+) -> DataFrame:
+    """Dense window skeleton per key over [lb, ub): sequence + explode,
+    left join to the tier, optional last-value forward fill.
+
+    The skeleton is generated, not collected — `sequence` produces the
+    bucket array per key JVM-side and explode fans it out, so the plan
+    scales with keys × windows without any driver loop.
+    """
+    fill_columns = fill_columns or [
+        c for c in tier.columns if c not in keys + ["bucket_ms"]]
+    key_df = tier.select(*keys).distinct()
+    skeleton = key_df.select(
+        *keys,
+        F.explode(
+            F.sequence(F.lit(lb_ms), F.lit(ub_ms - width_ms), F.lit(width_ms))
+        ).alias("bucket_ms"),
+    )
+    scoped = tier.filter((F.col("bucket_ms") >= lb_ms) & (F.col("bucket_ms") < ub_ms))
+    out = skeleton.join(scoped, on=keys + ["bucket_ms"], how="left")
+    if forward_fill:
+        w = (Window.partitionBy(*keys).orderBy("bucket_ms")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        for c in fill_columns:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out

@@ -1,0 +1,99 @@
+"""Idempotence / resume / lineage tests (FIXTURES.md §3.7).
+
+- re-running a completed pipeline changes nothing (table content hash stable);
+- a simulated mid-run crash + resume converges to the identical state a
+  clean run produces;
+- every chunk write leaves a lineage row with rows/bytes/wall time.
+"""
+
+import hashlib
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lindorm_tsdb_contest_java_spark.ops.pipeline import RollupPipeline
+from lindorm_tsdb_contest_java_spark.sources.table import SnapshotTable
+
+CHUNK_US = 5 * 86_400 * 1_000_000  # 5-day chunks: ~7 chunks over the fixture, keeps the 4-run test fast
+
+
+def _content_hash(spark, root, name, sort_cols):
+    df = SnapshotTable.load(os.path.join(root, name)).read(spark)
+    pdf = df.toPandas().sort_values(sort_cols).reset_index(drop=True)
+    drop = [c for c in pdf.columns if c.startswith("blob_")]  # hashed separately
+    h = hashlib.sha256()
+    h.update(pdf.drop(columns=drop).to_csv(index=False).encode())
+    for c in drop:
+        for b in pdf[c]:
+            h.update(bytes(b))
+    return h.hexdigest()
+
+
+TABLES = {
+    "segments": ["conv_bucket", "time_chunk"],
+    "tier_conv_1m": ["conv_id", "bucket_ms"],
+    "tier_conv_1h": ["conv_id", "bucket_ms"],
+    "tier_conv_1d": ["conv_id", "bucket_ms"],
+    "tier_rate_1m": ["role", "tool", "bucket_ms"],
+}
+
+
+def _hashes(spark, root):
+    return {t: _content_hash(spark, root, t, cols) for t, cols in TABLES.items()}
+
+
+def test_run_rerun_resume(spark, transcripts_df, tmp_path):
+    clean_root = str(tmp_path / "clean")
+    p = RollupPipeline(spark, clean_root, n_buckets=8, chunk_us=CHUNK_US)
+    m1 = p.run(transcripts_df, input_snapshot=1)
+    assert m1["chunks_run"] == m1["chunks_total"] > 1
+    baseline = _hashes(spark, clean_root)
+
+    # --- idempotence: re-run is a no-op and content is unchanged
+    m2 = RollupPipeline(spark, clean_root, n_buckets=8, chunk_us=CHUNK_US).run(transcripts_df, input_snapshot=1)
+    assert m2["chunks_run"] == 0
+    assert _hashes(spark, clean_root) == baseline
+
+    # --- crash mid-run, then resume: converges to the same content
+    crash_root = str(tmp_path / "crash")
+    crashing = RollupPipeline(spark, crash_root, n_buckets=8, chunk_us=CHUNK_US, fail_after_chunks=2)
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        crashing.run(transcripts_df, input_snapshot=1)
+    resumed = RollupPipeline(spark, crash_root, n_buckets=8, chunk_us=CHUNK_US)
+    m3 = resumed.run(transcripts_df, input_snapshot=1)
+    assert 0 < m3["chunks_run"] < m3["chunks_total"]
+    assert m3["chunks_done"] == 2
+    assert _hashes(spark, crash_root) == baseline
+
+    # --- lineage: one row per completed chunk, with metrics populated
+    lin = resumed.lineage.read(spark).toPandas()
+    assert len(lin) == m1["chunks_total"]
+    assert (lin["row_count"] > 0).all() and (lin["encoded_bytes"] > 0).all()
+    assert (lin["wall_s"] > 0).all()
+    assert lin["time_chunk"].nunique() == m1["chunks_total"]
+    assert (lin["input_files"].str.len() > 0).all()
+
+    # --- input change invalidates the checkpoint
+    with open(os.path.join(crash_root, "checkpoint.json")) as f:
+        st = json.load(f)
+    assert st["rollup"]["input_snapshot"] == 1
+    m4 = RollupPipeline(spark, crash_root, n_buckets=8, chunk_us=CHUNK_US).run(transcripts_df, input_snapshot=2)
+    assert m4["chunks_run"] == m4["chunks_total"]
+    assert _hashes(spark, crash_root) == baseline  # same input data -> same content
+
+
+def test_snapshot_table_partition_replace(spark, tmp_path):
+    import pandas as pd
+    t = SnapshotTable.create(str(tmp_path / "t"))
+    t.overwrite_partitions(pd.DataFrame({"k": [1, 1], "v": [10, 11]}), {"chunk": 1})
+    t.overwrite_partitions(pd.DataFrame({"k": [2], "v": [20]}), {"chunk": 2})
+    assert t.read(spark).count() == 3
+    # replacing chunk 1 swaps exactly its file
+    t.overwrite_partitions(pd.DataFrame({"k": [1], "v": [99]}), {"chunk": 1})
+    pdf = t.read(spark).toPandas().sort_values("v")
+    assert list(pdf["v"]) == [20, 99]
+    snap = t.current()
+    assert snap.operation == "overwrite_partitions"
+    assert snap.parent_id == snap.snapshot_id - 1
