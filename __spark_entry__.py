@@ -1,38 +1,611 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship end-to-end path (ingest → codec segments
+→ decode → tier rollup) on sf0.001. `queries()` exposes every implemented
+operator from SURVEY.md §2 plus the training-data pipeline ops; each
+oracle-checked entry has an equivalent DuckDB SQL in `oracle_sql()`
+(identical column names/aliases on both sides; float aggregates rounded
+identically on both sides so cross-engine hashing is stable).
+
+The transcripts-shaped input for the cross-engine gate is derived from
+the driver's `events` table identically in Spark and SQL — see
+lindorm_tsdb_contest_java_spark/sources/events_adapter.py.
+
+Spark-only entries (MinHash-LSH, SimHash, LSH-ANN, multimodal features,
+segment round-trip) intentionally have no oracle_sql: they hinge on
+engine-specific hashes or binary codecs, and the driver records the
+weaker rows-only check for them.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lindorm_tsdb_contest_java_spark.operators import datapipe as DP
+from lindorm_tsdb_contest_java_spark.operators import multimodal as MM
+from lindorm_tsdb_contest_java_spark.operators import queries as Q
+from lindorm_tsdb_contest_java_spark.operators.tiers import (
+    DAY_MS, HOUR_MS, MINUTE_MS, build_conv_tier, gap_fill, rollup_conv_tier, with_avg,
+)
+from lindorm_tsdb_contest_java_spark.sources.events_adapter import (
+    CANONICAL_CTE, JAN1_MS, JAN8_MS, JAN31_MS,
+    events_canonical, events_to_transcripts,
+)
+from lindorm_tsdb_contest_java_spark.sources.segments import (
+    canonicalize, decode_segments, encode_segments,
+)
+
+CONV = "12"
+DS_ITV_MS = 6 * 3600 * 1000  # 6h downsample windows
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full engine path on sf0.001 — canonicalize → encode
+    segments (all codecs) → decode → 1h tier → derived averages."""
+    sf_dir = "/root/testdata/sf0.001"
+    canon = canonicalize(events_canonical(spark, sf_dir), n_buckets=8, dedup=False)
+    decoded = decode_segments(encode_segments(canon),
+                              ["conv_id", "ts_us", "text_len", "latency_s"])
+    tier = build_conv_tier(decoded, HOUR_MS)
+    return with_avg(rollup_conv_tier(tier, DAY_MS))
+
+
+# ---------------------------------------------------------------- helpers
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _docs_with_dups(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.unionByName(
+        d.filter(F.col("doc_id") % 5 == 0)
+         .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+
+
+_DOCS_DUPS_SQL = """
+docs2 AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 5 = 0
+)
+"""
+
+
+def _round(df, cols, n=6):
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), n))
+    return df
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_latest(spark, sf_dir):
+    canon = events_canonical(spark, sf_dir)
+    out = Q.latest(canon, None, ["turn_idx", "role", "text", "ts_us"])
+    return out.withColumn("turn_idx", F.col("turn_idx").cast("long"))
+
+
+def _q_point_lookup_latest(spark, sf_dir):
+    canon = events_canonical(spark, sf_dir)
+    out = Q.latest(canon, [CONV, "37", "no-such-conv"], ["turn_idx", "text", "ts_us"])
+    return out.withColumn("turn_idx", F.col("turn_idx").cast("long"))
+
+
+def _q_time_range(spark, sf_dir):
+    canon = events_canonical(spark, sf_dir)
+    out = Q.time_range(canon, CONV, JAN1_MS + 4 * 86_400_000, JAN1_MS + 14 * 86_400_000,
+                       ["conv_id", "turn_idx", "text", "ts_us"])
+    return out.withColumn("turn_idx", F.col("turn_idx").cast("long"))
+
+
+def _agg(column, agg, scale=None):
+    """Aggregate driver query. For double averages, aggregate the exact
+    integer twin column (latency_us) and apply the unit scale once at the
+    end — the result double is then deterministic across engines (int64
+    sums + a fixed division), no rounding needed."""
+    def fn(spark, sf_dir):
+        canon = events_canonical(spark, sf_dir)
+        out = Q.aggregate(canon, CONV, column, JAN1_MS, JAN31_MS, agg)
+        if scale is not None:
+            out = out.withColumn("value", F.col("value") / F.lit(scale))
+        return out
+    return fn
+
+
+def _q_downsample_avg_greater(spark, sf_dir):
+    canon = events_canonical(spark, sf_dir)
+    # int64 sums / count: deterministic double, no rounding needed
+    return Q.downsample(canon, CONV, "text_len", JAN1_MS, JAN8_MS, DS_ITV_MS,
+                        "AVG", "GREATER", 9, sentinel_as_null=True)
+
+
+def _q_downsample_max_equal(spark, sf_dir):
+    canon = events_canonical(spark, sf_dir)
+    return Q.downsample(canon, CONV, "text_len", JAN1_MS, JAN8_MS, DS_ITV_MS,
+                        "MAX", "EQUAL", 9, sentinel_as_null=True)
+
+
+def _q_downsample_avg_latency(spark, sf_dir):
+    canon = events_canonical(spark, sf_dir)
+    out = Q.downsample(canon, CONV, "latency_us", JAN1_MS, JAN8_MS, DS_ITV_MS,
+                       "AVG", None, None, sentinel_as_null=True)
+    return out.withColumn("value", F.col("value") / F.lit(1e6))
+
+
+def _q_tier_conv_1h(spark, sf_dir):
+    tier = build_conv_tier(events_canonical(spark, sf_dir), HOUR_MS)
+    return tier.select(
+        "conv_id", "bucket_ms", "n_turns", "text_len_sum", "text_len_min",
+        "text_len_max", "latency_us_sum", "latency_min", "latency_max")
+
+
+def _q_tier_cascade_1d(spark, sf_dir):
+    t1m = build_conv_tier(events_canonical(spark, sf_dir), MINUTE_MS)
+    t1d = rollup_conv_tier(rollup_conv_tier(t1m, HOUR_MS), DAY_MS)
+    return t1d.select(
+        "conv_id", "bucket_ms", "n_turns", "text_len_sum", "text_len_min",
+        "text_len_max", "latency_us_sum")
+
+
+def _q_tier_avg_read(spark, sf_dir):
+    t1d = rollup_conv_tier(build_conv_tier(events_canonical(spark, sf_dir), HOUR_MS), DAY_MS)
+    # averages derived from int64 (sum, count): deterministic doubles
+    return t1d.select(
+        "conv_id", "bucket_ms",
+        (F.col("text_len_sum") / F.col("n_turns")).alias("text_len_avg"),
+        (F.col("latency_us_sum") / F.col("n_turns") / F.lit(1e6)).alias("latency_avg"))
+
+
+def _q_gapfill_ffill(spark, sf_dir):
+    tier = build_conv_tier(events_canonical(spark, sf_dir), DAY_MS)
+    one = tier.filter(F.col("conv_id") == CONV)
+    out = gap_fill(one, JAN1_MS, JAN31_MS, DAY_MS, ["conv_id"],
+                   fill_columns=["text_len_max"], forward_fill=True)
+    return out.select("conv_id", "bucket_ms",
+                      F.col("n_turns").cast("long").alias("n_turns"),
+                      F.col("text_len_max").cast("long").alias("text_len_max_ffill"))
+
+
+def _q_upsert_dedup(spark, sf_dir):
+    t = events_to_transcripts(spark, sf_dir)
+    dups = (t.filter(F.col("turn_idx") % 7 == 3)
+            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 SECOND"))
+            .withColumn("text", F.concat(F.lit("[edited] "), F.col("text"))))
+    unioned = t.unionByName(dups).withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col("ts_us").desc())
+    dedup = unioned.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
+    return dedup.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.when(F.col("text").startswith("[edited] "), 1).otherwise(0))
+            .alias("n_edited"))
+
+
+def _q_sessionize(spark, sf_dir):
+    from pyspark.sql.window import Window
+    canon = events_canonical(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    return (canon.withColumn("new_sess",
+                             F.when(gap > 1_800_000_000, 1).otherwise(0))
+            .groupBy("conv_id")
+            .agg(F.count("*").alias("n_turns"),
+                 (F.lit(1) + F.sum("new_sess")).alias("n_sessions")))
+
+
+def _q_hourly_role_rates(spark, sf_dir):
+    canon = events_canonical(spark, sf_dir)
+    bucket = (F.floor(F.col("ts_us") / F.lit(HOUR_MS * 1000)) * F.lit(HOUR_MS))
+    return (canon.groupBy("role", bucket.alias("bucket_ms"))
+            .agg(F.count("*").alias("n_turns"))
+            .withColumn("turns_per_s", F.round(F.col("n_turns") / F.lit(3600.0), 6)))
+
+
+def _q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # money/discount summed as integer cents / basis points: exact int64
+    # cross-engine, immune to float-sum ordering
+    cents = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                 F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_price_cents"),
+                 F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                       .cast("long")).alias("sum_disc_price_cents"),
+                 F.sum(F.round(F.col("l_discount") * 10000).cast("long")).alias("sum_disc_bps"),
+                 F.count("*").alias("count_order")))
+
+
+def _q_mktsegment_revenue(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                     .alias("revenue_cents"),
+                 F.count("*").alias("n_orders")))
+
+
+# ---- datapipe: dedup / similarity / text analysis ----
+
+def _q_dedup_exact(spark, sf_dir):
+    return DP.exact_dedup_groups(_docs_with_dups(spark, sf_dir), "doc_id")
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    sh = DP.with_shingles(DP.with_tokens(docs), n=1)
+    out = DP.ngram_jaccard_pairs(sh, "doc_id", threshold=0.6)
+    return _round(out, ["jaccard"])
+
+
+def _q_minhash_lsh(spark, sf_dir):  # Spark-only (xxhash64): rows-only check
+    sh = DP.with_shingles(DP.with_tokens(_docs_with_dups(spark, sf_dir)), n=3)
+    pairs = DP.lsh_candidate_pairs(DP.minhash_signatures(sh), "doc_id")
+    return pairs.filter(F.col("jaccard") >= 0.9)
+
+
+def _q_simhash(spark, sf_dir):  # Spark-only: rows-only check
+    return DP.simhash_dedup(_docs_with_dups(spark, sf_dir), "doc_id")
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = DP.cosine_topk(emb.filter(F.col("vec_id") > 0), qvec, k=10)
+    return _round(out, ["cosine"], 4)
+
+
+def _q_ann_lsh(spark, sf_dir):  # Spark-only: rows-only check
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return DP.ann_lsh_topk(emb.filter(F.col("vec_id") > 0), qvec, k=10)
+
+
+def _q_embedding_top_pairs(spark, sf_dir):
+    out = DP.embedding_top_pairs(_emb(spark, sf_dir), limit_ids=200, k=20)
+    return _round(out, ["cosine"], 4)
+
+
+def _q_text_quality(spark, sf_dir):
+    return DP.text_quality(_docs(spark, sf_dir), "doc_id")
+
+
+def _q_lang_guess(spark, sf_dir):
+    return DP.lang_guess(_docs(spark, sf_dir), "doc_id")
+
+
+def _q_fingerprint(spark, sf_dir):
+    return DP.fingerprint(_docs(spark, sf_dir), "doc_id").select("doc_id", "fingerprint")
+
+
+def _q_multimodal_meta(spark, sf_dir):
+    return MM.attach_media(_docs(spark, sf_dir), "doc_id").select(
+        "media_id", "kind", "byte_len", "content_md5")
+
+
+def _q_multimodal_features(spark, sf_dir):  # Spark-only: rows-only check
+    media = MM.attach_media(_docs(spark, sf_dir), "doc_id")
+    return MM.extract_features(media).select("media_id", "kind", "width", "height",
+                                             "n_frames")
+
+
+def _q_segment_roundtrip(spark, sf_dir):  # Spark-only (binary codecs): rows-only
+    canon = canonicalize(events_canonical(spark, sf_dir), n_buckets=8, dedup=False)
+    decoded = decode_segments(encode_segments(canon),
+                              ["conv_id", "turn_idx", "text", "ts_us"])
+    return decoded
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # reference query surface (SURVEY.md §2.2/2.4/2.5)
+        "latest_per_conv": _q_latest,
+        "point_lookup_latest": _q_point_lookup_latest,
+        "time_range_scan": _q_time_range,
+        "agg_avg_int": _agg("text_len", "AVG"),
+        "agg_max_int": _agg("text_len", "MAX"),
+        "agg_avg_double": _agg("latency_us", "AVG", scale=1e6),
+        "agg_max_double": _agg("latency_s", "MAX"),
+        "downsample_avg_greater": _q_downsample_avg_greater,
+        "downsample_max_equal": _q_downsample_max_equal,
+        "downsample_avg_latency": _q_downsample_avg_latency,
+        # continuous-aggregate tiers (SURVEY.md §2.4 A1/A2)
+        "tier_conv_1h": _q_tier_conv_1h,
+        "tier_cascade_1d": _q_tier_cascade_1d,
+        "tier_avg_read": _q_tier_avg_read,
+        "gapfill_ffill": _q_gapfill_ffill,
+        # write-path semantics (S1) + sessionization + rates
+        "upsert_dedup": _q_upsert_dedup,
+        "sessionize": _q_sessionize,
+        "hourly_role_rates": _q_hourly_role_rates,
+        # relational breadth (Spark built-ins; absent in reference §2.3)
+        "tpch_q1": _q_tpch_q1,
+        "mktsegment_revenue": _q_mktsegment_revenue,
+        # training-data pipeline ops
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_lsh_dedup": _q_minhash_lsh,
+        "simhash_groups": _q_simhash,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh,
+        "embedding_top_pairs": _q_embedding_top_pairs,
+        "text_quality": _q_text_quality,
+        "lang_guess": _q_lang_guess,
+        "fingerprint": _q_fingerprint,
+        "multimodal_meta": _q_multimodal_meta,
+        "multimodal_features": _q_multimodal_features,
+        "segment_roundtrip": _q_segment_roundtrip,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    C = CANONICAL_CTE
+    ds_skel = f"FROM range(0, {(JAN8_MS - JAN1_MS) // DS_ITV_MS}) t(w)"
+    return {
+        "latest_per_conv": C + """
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, ts_us
+FROM canonical
+QUALIFY ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts_us DESC) = 1
+""",
+        "point_lookup_latest": C + f"""
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text, ts_us
+FROM canonical WHERE conv_id IN ('{CONV}', '37', 'no-such-conv')
+QUALIFY ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts_us DESC) = 1
+""",
+        "time_range_scan": C + f"""
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text, ts_us
+FROM canonical
+WHERE conv_id = '{CONV}' AND ts_us >= {(JAN1_MS + 4 * 86_400_000) * 1000}
+  AND ts_us < {(JAN1_MS + 14 * 86_400_000) * 1000}
+""",
+        "agg_avg_int": C + f"""
+SELECT conv_id, {JAN1_MS} AS ts_ms, SUM(text_len) * 1.0 / COUNT(text_len) AS value
+FROM canonical
+WHERE conv_id = '{CONV}' AND ts_us >= {JAN1_MS * 1000} AND ts_us < {JAN31_MS * 1000}
+GROUP BY conv_id
+""",
+        "agg_max_int": C + f"""
+SELECT conv_id, {JAN1_MS} AS ts_ms, MAX(text_len) AS value
+FROM canonical
+WHERE conv_id = '{CONV}' AND ts_us >= {JAN1_MS * 1000} AND ts_us < {JAN31_MS * 1000}
+GROUP BY conv_id
+""",
+        "agg_avg_double": C + f"""
+SELECT conv_id, {JAN1_MS} AS ts_ms,
+       SUM(latency_us) * 1.0 / COUNT(latency_us) / 1e6 AS value
+FROM canonical
+WHERE conv_id = '{CONV}' AND ts_us >= {JAN1_MS * 1000} AND ts_us < {JAN31_MS * 1000}
+GROUP BY conv_id
+""",
+        "agg_max_double": C + f"""
+SELECT conv_id, {JAN1_MS} AS ts_ms, MAX(latency_s) AS value
+FROM canonical
+WHERE conv_id = '{CONV}' AND ts_us >= {JAN1_MS * 1000} AND ts_us < {JAN31_MS * 1000}
+GROUP BY conv_id
+""",
+        "downsample_avg_greater": C + f""",
+scoped AS (
+  SELECT * FROM canonical
+  WHERE conv_id = '{CONV}' AND ts_us >= {JAN1_MS * 1000} AND ts_us < {JAN8_MS * 1000}
+),
+wins AS (
+  SELECT CAST(FLOOR((ts_us - {JAN1_MS * 1000}) / {DS_ITV_MS * 1000}) AS BIGINT) AS w,
+         SUM(CASE WHEN text_len > 9 THEN text_len END)
+               * 1.0 / COUNT(CASE WHEN text_len > 9 THEN text_len END) AS v
+  FROM scoped GROUP BY 1
+),
+marker AS (SELECT * FROM (SELECT COUNT(*) AS c FROM scoped) WHERE c > 0)
+SELECT '{CONV}' AS conv_id, {JAN1_MS} + t.w * {DS_ITV_MS} AS ts_ms, wins.v AS value
+{ds_skel} CROSS JOIN marker LEFT JOIN wins ON wins.w = t.w
+""",
+        "downsample_max_equal": C + f""",
+scoped AS (
+  SELECT * FROM canonical
+  WHERE conv_id = '{CONV}' AND ts_us >= {JAN1_MS * 1000} AND ts_us < {JAN8_MS * 1000}
+),
+wins AS (
+  SELECT CAST(FLOOR((ts_us - {JAN1_MS * 1000}) / {DS_ITV_MS * 1000}) AS BIGINT) AS w,
+         MAX(CASE WHEN text_len = 9 THEN text_len END) AS v
+  FROM scoped GROUP BY 1
+),
+marker AS (SELECT * FROM (SELECT COUNT(*) AS c FROM scoped) WHERE c > 0)
+SELECT '{CONV}' AS conv_id, {JAN1_MS} + t.w * {DS_ITV_MS} AS ts_ms, wins.v AS value
+{ds_skel} CROSS JOIN marker LEFT JOIN wins ON wins.w = t.w
+""",
+        "downsample_avg_latency": C + f""",
+scoped AS (
+  SELECT * FROM canonical
+  WHERE conv_id = '{CONV}' AND ts_us >= {JAN1_MS * 1000} AND ts_us < {JAN8_MS * 1000}
+),
+wins AS (
+  SELECT CAST(FLOOR((ts_us - {JAN1_MS * 1000}) / {DS_ITV_MS * 1000}) AS BIGINT) AS w,
+         SUM(latency_us) * 1.0 / COUNT(latency_us) / 1e6 AS v
+  FROM scoped GROUP BY 1
+),
+marker AS (SELECT * FROM (SELECT COUNT(*) AS c FROM scoped) WHERE c > 0)
+SELECT '{CONV}' AS conv_id, {JAN1_MS} + t.w * {DS_ITV_MS} AS ts_ms, wins.v AS value
+{ds_skel} CROSS JOIN marker LEFT JOIN wins ON wins.w = t.w
+""",
+        "tier_conv_1h": C + f"""
+SELECT conv_id,
+       CAST(FLOOR(ts_us / {HOUR_MS * 1000}) AS BIGINT) * {HOUR_MS} AS bucket_ms,
+       COUNT(*) AS n_turns, SUM(text_len) AS text_len_sum,
+       MIN(text_len) AS text_len_min, MAX(text_len) AS text_len_max,
+       SUM(latency_us) AS latency_us_sum,
+       MIN(latency_s) AS latency_min, MAX(latency_s) AS latency_max
+FROM canonical GROUP BY 1, 2
+""",
+        "tier_cascade_1d": C + f"""
+SELECT conv_id,
+       CAST(FLOOR(ts_us / {DAY_MS * 1000}) AS BIGINT) * {DAY_MS} AS bucket_ms,
+       COUNT(*) AS n_turns, SUM(text_len) AS text_len_sum,
+       MIN(text_len) AS text_len_min, MAX(text_len) AS text_len_max,
+       SUM(latency_us) AS latency_us_sum
+FROM canonical GROUP BY 1, 2
+""",
+        "tier_avg_read": C + f"""
+SELECT conv_id,
+       CAST(FLOOR(ts_us / {DAY_MS * 1000}) AS BIGINT) * {DAY_MS} AS bucket_ms,
+       SUM(text_len) * 1.0 / COUNT(*) AS text_len_avg,
+       SUM(latency_us) * 1.0 / COUNT(*) / 1e6 AS latency_avg
+FROM canonical GROUP BY 1, 2
+""",
+        "gapfill_ffill": C + f""",
+tier AS (
+  SELECT conv_id,
+         CAST(FLOOR(ts_us / {DAY_MS * 1000}) AS BIGINT) * {DAY_MS} AS bucket_ms,
+         COUNT(*) AS n_turns, MAX(text_len) AS text_len_max
+  FROM canonical WHERE conv_id = '{CONV}' GROUP BY 1, 2
+),
+skel AS (
+  SELECT '{CONV}' AS conv_id, {JAN1_MS} + t.d * {DAY_MS} AS bucket_ms
+  FROM range(0, {(JAN31_MS - JAN1_MS) // DAY_MS}) t(d)
+)
+SELECT s.conv_id, s.bucket_ms, tier.n_turns,
+       LAST_VALUE(tier.text_len_max IGNORE NULLS) OVER (
+         ORDER BY s.bucket_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS text_len_max_ffill
+FROM skel s LEFT JOIN tier ON tier.bucket_ms = s.bucket_ms AND tier.conv_id = s.conv_id
+""",
+        "upsert_dedup": C + """,
+dups AS (
+  SELECT conv_id, turn_idx, '[edited] ' || text AS text,
+         epoch_us(ts + INTERVAL 1 SECOND) AS ts_us
+  FROM transcripts WHERE turn_idx % 7 = 3
+),
+unioned AS (
+  SELECT conv_id, turn_idx, text, epoch_us(ts) AS ts_us FROM transcripts
+  UNION ALL SELECT conv_id, turn_idx, text, ts_us FROM dups
+),
+dedup AS (
+  SELECT * FROM unioned
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts_us DESC) = 1
+)
+SELECT conv_id, COUNT(*) AS n_turns,
+       SUM(CASE WHEN text LIKE '[edited] %' THEN 1 ELSE 0 END) AS n_edited
+FROM dedup GROUP BY conv_id
+""",
+        "sessionize": C + """
+SELECT conv_id, COUNT(*) AS n_turns,
+       1 + SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions
+FROM (
+  SELECT conv_id,
+         ts_us - LAG(ts_us) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+  FROM canonical
+) GROUP BY conv_id
+""",
+        "hourly_role_rates": C + f"""
+SELECT role,
+       CAST(FLOOR(ts_us / {HOUR_MS * 1000}) AS BIGINT) * {HOUR_MS} AS bucket_ms,
+       COUNT(*) AS n_turns, ROUND(COUNT(*) / 3600.0, 6) AS turns_per_s
+FROM canonical GROUP BY 1, 2
+""",
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_cents,
+       SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS sum_disc_bps,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "mktsegment_revenue": """
+SELECT c_mktsegment, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+        "dedup_exact": "WITH " + _DOCS_DUPS_SQL + """
+SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM docs2 GROUP BY 1 HAVING COUNT(*) > 1
+""",
+        "ngram_jaccard_pairs": """
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tokens
+  FROM documents WHERE doc_id < 300
+),
+sized AS (SELECT doc_id, tokens, len(tokens) AS n_sh FROM toks),
+ex AS (SELECT doc_id, n_sh, unnest(tokens) AS shingle FROM sized)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(COUNT(*) * 1.0 / (a.n_sh + b.n_sh - COUNT(*)), 6) AS jaccard
+FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+HAVING COUNT(*) * 1.0 / (a.n_sh + b.n_sh - COUNT(*)) >= 0.6
+""",
+        "ann_cosine_topk": """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 4) AS cosine
+FROM embeddings, q WHERE vec_id > 0
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) DESC, vec_id
+LIMIT 10
+""",
+        "embedding_top_pairs": """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+ORDER BY list_cosine_similarity(a.v, b.v) DESC, a.vec_id, b.vec_id
+LIMIT 20
+""",
+        "text_quality": """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS tokens
+  FROM documents
+)
+SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+       ROUND(CASE WHEN len(tokens) > 0 THEN
+         len(list_filter(tokens, t -> t IN ('the','a','of','and','to','in','is','it')))
+           * 1.0 / len(tokens) ELSE 0.0 END, 6) AS stopword_ratio,
+       ROUND(CASE WHEN len(tokens) > 0 THEN
+         length(replace(text, ' ', '')) * 1.0 / len(tokens) ELSE 0.0 END, 6)
+         AS avg_word_len,
+       ROUND(CASE WHEN length(text) > 0 THEN
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text)
+         ELSE 0.0 END, 6) AS punct_ratio
+FROM toks
+""",
+        "lang_guess": """
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+            WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+            WHEN regexp_matches(text, '(^| )(le|la|les|une|est)( |$)') THEN 'fr'
+            WHEN regexp_matches(text, '(^| )(der|die|das|und|ist)( |$)') THEN 'de'
+            WHEN regexp_matches(text, '(^| )(el|los|las|una|es)( |$)') THEN 'es'
+            WHEN regexp_matches(text, '(^| )(the|a|of|and|is)( |$)') THEN 'en'
+            ELSE 'unknown' END AS lang_guess
+FROM documents
+""",
+        "fingerprint": """
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+        "multimodal_meta": """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS content_md5
+FROM documents
+""",
+    }

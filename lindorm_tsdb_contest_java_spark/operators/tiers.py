@@ -67,15 +67,25 @@ def _bucket(width_ms: int, src_col: str = "ts_us") -> F.Column:
 
 
 def build_conv_tier(canonical: DataFrame, width_ms: int = MINUTE_MS) -> DataFrame:
-    """Base tier from raw turns: one hash aggregate, map-side partials free."""
-    return canonical.groupBy("conv_id", _bucket(width_ms)).agg(*_measures())
+    """Base tier from raw turns: one hash aggregate, map-side partials free.
+
+    When the source carries latency as exact integer micros (latency_us),
+    the tier also stores latency_us_sum — an int64 that composes
+    bit-exactly through every cascade level and across engines."""
+    measures = _measures()
+    if "latency_us" in canonical.columns:
+        measures.append(F.sum("latency_us").alias("latency_us_sum"))
+    return canonical.groupBy("conv_id", _bucket(width_ms)).agg(*measures)
 
 
 def rollup_conv_tier(tier: DataFrame, width_ms: int) -> DataFrame:
     """Next retention tier from the previous one — same-shaped schema, so
     the cascade composes (1m → 1h → 1d)."""
+    measures = _rollup_measures()
+    if "latency_us_sum" in tier.columns:
+        measures.append(F.sum("latency_us_sum").alias("latency_us_sum"))
     coarse = (F.floor(F.col("bucket_ms") / F.lit(width_ms)) * F.lit(width_ms)).alias("bucket_ms")
-    return tier.groupBy("conv_id", coarse).agg(*_rollup_measures())
+    return tier.groupBy("conv_id", coarse).agg(*measures)
 
 
 def with_avg(tier: DataFrame) -> DataFrame:

@@ -117,7 +117,7 @@ def canonicalize(
         out = (out.withColumn("_rn", F.row_number().over(w))
                   .filter(F.col("_rn") == 1).drop("_rn"))
     out = (
-        out.withColumn("ts_us", F.unix_micros("ts"))
+        out.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
         .withColumn("text_len", F.length("text"))
         .withColumn(
             "latency_s",
