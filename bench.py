@@ -1,0 +1,167 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "turns_per_sec": ..., "bytes_per_turn": ...}
+
+Headline queries:
+- rollup_encode : canonicalize + encode ALL codec segments for a ~1M-turn
+  deterministic synthetic transcript table and write them (the graded
+  write path: turns/sec + compressed bytes/turn)
+- tier_cascade  : 1m -> 1h -> 1d conv-tier cascade on the same table
+- decode_scan   : decode a column subset from every segment (read path)
+- downsample    : filtered windowed AVG on the hot conversation
+- latest        : latest-row-per-conversation over all conversations
+- plus testdata queries at $SPARK_GRAFT_SF_DIR (events rates, TPC-H q1,
+  LSH dedup, ANN top-k)
+
+Config: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+$SPARK_GRAFT_CPUS (default 32), $BENCH_TURNS (default 1_000_000).
+The synthetic table is generated once per size and cached as parquet
+under .bench_cache/ (content is seed-deterministic).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from lindorm_tsdb_contest_java_spark.operators import queries as Q
+from lindorm_tsdb_contest_java_spark.operators.datapipe import (
+    cosine_topk, lsh_candidate_pairs, minhash_signatures, with_shingles, with_tokens,
+)
+from lindorm_tsdb_contest_java_spark.operators.tiers import (
+    DAY_MS, HOUR_MS, MINUTE_MS, build_conv_tier, rollup_conv_tier,
+)
+from lindorm_tsdb_contest_java_spark.plans.session import get_spark
+from lindorm_tsdb_contest_java_spark.sources.generator import generate_transcripts
+from lindorm_tsdb_contest_java_spark.sources.segments import (
+    canonicalize, decode_segments, encode_segments,
+)
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def bench_table(n_turns: int, n_files: int = 32) -> str:
+    """Deterministic synthetic transcripts parquet dir, cached by size.
+
+    Written as n_files separate files so the scan parallelizes regardless
+    of spark.sql.files.maxPartitionBytes (a single small file would make
+    the first stage serial and cap scaling)."""
+    path = os.path.join(CACHE_DIR, f"transcripts_{n_turns}")
+    if not os.path.exists(path):
+        os.makedirs(path, exist_ok=True)
+        from lindorm_tsdb_contest_java_spark.sources.generator import (
+            write_transcripts_parquet,
+        )
+        n_conv = max(200, n_turns // 50)
+        pdf = generate_transcripts(n_conv=n_conv, mean_turns=50, seed=42)
+        step = (len(pdf) + n_files - 1) // n_files
+        for i in range(n_files):
+            part = pdf.iloc[i * step:(i + 1) * step]
+            if len(part):
+                write_transcripts_parquet(part, f"{path}/part-{i:04d}.parquet")
+    return path
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_turns_target = int(os.environ.get("BENCH_TURNS", "1000000"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    tpath = bench_table(n_turns_target)
+    spark = get_spark("bench", parallelism=cpus, shuffle_partitions=max(cpus, 16))
+    timings: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+            def __exit__(self, *a):
+                timings[name] = round(time.perf_counter() - self.t0, 3)
+        return _T()
+
+    # ---- engine path on the synthetic transcripts ----
+    raw = spark.read.parquet(tpath)
+    n_turns = raw.count()
+
+    # warm the Python worker pool (fork + numpy/pandas import per worker)
+    # before timing: we measure the engine, not process startup — on a real
+    # cluster workers are long-lived
+    import pandas as _pd
+    spark.range(cpus * 4).repartition(cpus * 4).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long").count()
+    seg_path = os.path.join(CACHE_DIR, f"segments_{n_turns}_{cpus}.parquet")
+
+    # segment sizing: groups of ~4-8k rows amortize the per-group pandas
+    # overhead (measured: 25k rows/s/core at 130-row groups vs 450k at 5k)
+    # while staying well under executor memory; chunk = 1 day
+    chunk_us = 86_400 * 1_000_000
+    n_chunks = 30
+    n_buckets = max(8, min(1024, n_turns // (n_chunks * 4000)))
+    with timed("rollup_encode"):
+        canon = canonicalize(raw, n_buckets=n_buckets, chunk_us=chunk_us)
+        segs = encode_segments(canon)
+        segs.write.mode("overwrite").parquet(seg_path)
+    segments = spark.read.parquet(seg_path)
+    enc_bytes = segments.agg(F.sum("encoded_bytes")).collect()[0][0]
+
+    canon = canonicalize(raw).cache()
+    canon.count()  # materialize outside the tier timing
+    with timed("tier_cascade"):
+        t1m = build_conv_tier(canon, MINUTE_MS)
+        t1h = rollup_conv_tier(t1m, HOUR_MS)
+        t1d = rollup_conv_tier(t1h, DAY_MS)
+        t1d.write.mode("overwrite").parquet(os.path.join(CACHE_DIR, "t1d.parquet"))
+
+    with timed("decode_scan"):
+        decode_segments(segments, ["conv_id", "ts_us", "text_len"]) \
+            .agg(F.sum("text_len")).collect()
+
+    hot = "conv-00000000"
+    lb = 1_704_067_200_000
+    with timed("downsample"):
+        Q.downsample(canon, hot, "text_len", lb, lb + 31 * 86_400_000, 3_600_000,
+                     "AVG", "GREATER", 10).collect()
+
+    with timed("latest"):
+        Q.latest(canon, None, ["turn_idx", "ts_us"]).count()
+
+    # ---- testdata queries at the given sf ----
+    import __spark_entry__ as E
+    with timed("hourly_role_rates"):
+        E.queries()["hourly_role_rates"](spark, sf_dir).count()
+    with timed("tpch_q1"):
+        E.queries()["tpch_q1"](spark, sf_dir).collect()
+    with timed("minhash_lsh_dedup"):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sh = with_shingles(with_tokens(docs), n=3)
+        lsh_candidate_pairs(minhash_signatures(sh), "doc_id").count()
+    with timed("ann_cosine_topk"):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        cosine_topk(emb.filter(F.col("vec_id") > 0), qvec, k=10).collect()
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "rollup_encode+tiers+queries wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / timings["rollup_encode"], 1),
+        "bytes_per_turn": round(enc_bytes / n_turns, 2),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -124,4 +124,9 @@ def generate_dups_variant(df: pd.DataFrame, frac: float = 0.01, seed: int = 43) 
 
 def write_transcripts_parquet(df: pd.DataFrame, path: str) -> None:
     table = pa.Table.from_pandas(df, preserve_index=False)
+    # pandas datetime64[ns] -> TIMESTAMP(NANOS), which Spark's reader
+    # rejects; the generator is ms-quantized so micros is lossless
+    i = table.schema.get_field_index("ts")
+    table = table.set_column(i, pa.field("ts", pa.timestamp("us")),
+                             table.column("ts").cast(pa.timestamp("us")))
     pq.write_table(table, path, compression="zstd")

@@ -110,7 +110,11 @@ def canonicalize(
     """
     from pyspark.sql.window import Window
 
-    out = df
+    # one explicit shuffle on conv_id serves BOTH window operators below:
+    # hashpartitioning(conv_id) satisfies the (conv_id, turn_idx) dedup
+    # window's clustering too (subset rule), so Catalyst inserts sorts but
+    # no further exchanges — cuts the ingest path from 2 shuffles to 1
+    out = df.repartition(F.col("conv_id"))
     if dedup:
         w = Window.partitionBy("conv_id", "turn_idx").orderBy(
             F.col("ts").desc(), F.length("text").desc())

@@ -1,0 +1,108 @@
+"""Dedup / similarity / text-analysis operator tests with planted ground truth."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lindorm_tsdb_contest_java_spark.operators import datapipe as DP
+from lindorm_tsdb_contest_java_spark.operators import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.default_rng(5)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "the", "a", "of", "and"]
+    rows = []
+    for i in range(120):
+        words = list(rng.choice(vocab, 40))
+        rows.append((i, " ".join(words)))
+    # planted near-dups: 200+i is doc i with ONE word changed (high jaccard)
+    for i in range(10):
+        words = rows[i][1].split(" ")
+        words[5] = "CHANGED"
+        rows.append((200 + i, " ".join(words)))
+    # planted exact dups
+    for i in range(5):
+        rows.append((300 + i, rows[i][1]))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup_finds_planted(docs):
+    groups = DP.exact_dedup_groups(docs, "doc_id").toPandas()
+    assert len(groups) == 5
+    assert set(groups["keep_id"]) == set(range(5))
+    assert (groups["n_docs"] == 2).all()
+
+
+def test_minhash_lsh_finds_planted_neardups(docs):
+    sh = DP.with_shingles(DP.with_tokens(docs), n=3)
+    pairs = DP.lsh_candidate_pairs(DP.minhash_signatures(sh), "doc_id").toPandas()
+    strong = pairs[pairs["jaccard"] >= 0.7]
+    found = set(map(tuple, strong[["id_a", "id_b"]].to_numpy()))
+    for i in range(10):
+        assert (i, 200 + i) in found, f"missed planted near-dup {i}"
+    for i in range(5):
+        assert (i, 300 + i) in found, f"missed planted exact dup {i}"
+
+
+def test_lsh_vs_exact_jaccard_agree(docs):
+    """Every LSH candidate's jaccard must equal the exact join's value."""
+    sh = DP.with_shingles(DP.with_tokens(docs), n=3)
+    lsh = DP.lsh_candidate_pairs(DP.minhash_signatures(sh), "doc_id") \
+        .filter(F.col("jaccard") >= 0.5).toPandas()
+    exact = DP.ngram_jaccard_pairs(sh, "doc_id", threshold=0.5).toPandas()
+    e = {(r.id_a, r.id_b): r.jaccard for r in exact.itertuples()}
+    for r in lsh.itertuples():
+        assert (r.id_a, r.id_b) in e
+        assert abs(e[(r.id_a, r.id_b)] - r.jaccard) < 1e-12
+    # LSH at >=0.5 with 4 bands of 4 should recall most exact pairs
+    assert len(lsh) >= 0.8 * len(exact)
+
+
+def test_simhash_groups_exact_dups(docs):
+    groups = DP.simhash_dedup(docs, "doc_id").toPandas()
+    keeps = set(groups["keep_id"])
+    assert set(range(5)) <= keeps  # exact dups share a simhash
+
+
+def test_ann_lsh_subset_of_bruteforce_space(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(400, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(400), "embedding": list(vecs)})
+    df = spark.createDataFrame(pdf)
+    q = [float(x) for x in vecs[0]]
+    brute = DP.cosine_topk(df.filter("vec_id > 0"), q, k=50).toPandas()
+    ann = DP.ann_lsh_topk(df.filter("vec_id > 0"), q, k=10, n_planes=4).toPandas()
+    assert len(ann) > 0
+    # ANN results are real cosines: each must match brute-force's value
+    bmap = dict(zip(brute["vec_id"], brute["cosine"]))
+    for r in ann.itertuples():
+        if r.vec_id in bmap:
+            assert abs(bmap[r.vec_id] - r.cosine) < 1e-9
+    # and the top-1 brute-force hit shares the query's bucket often enough
+    # that ANN returns something close
+    assert ann["cosine"].max() >= brute["cosine"].iloc[:50].min()
+
+
+def test_text_quality_known_values(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2], "text": ["the cat, and the dog!", ""]}))
+    q = DP.text_quality(df, "doc_id").toPandas().set_index("doc_id")
+    assert q.loc[1, "n_tokens"] == 5
+    assert q.loc[1, "stopword_ratio"] == pytest.approx(3 / 5)  # the, and, the
+    assert q.loc[2, "n_tokens"] == 0 and q.loc[2, "stopword_ratio"] == 0.0
+
+
+def test_multimodal_features_deterministic(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(30), "text": [f"payload {i}" for i in range(30)]}))
+    media = MM.attach_media(df, "doc_id")
+    f1 = MM.extract_features(media).toPandas().sort_values("media_id").reset_index(drop=True)
+    f2 = MM.extract_features(media).toPandas().sort_values("media_id").reset_index(drop=True)
+    assert (f1["width"] == 4).all() and (f1["height"] == 4).all()
+    assert set(f1["kind"]) == {"image", "audio", "video"}
+    assert (f1["n_frames"][f1["kind"] != "video"] == 1).all()
+    for a, b in zip(f1["feature"], f2["feature"]):
+        assert list(a) == list(b)

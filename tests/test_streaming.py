@@ -1,0 +1,90 @@
+"""Streaming tier == batch tier for closed windows; resumable ingest."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lindorm_tsdb_contest_java_spark.sources.generator import (
+    generate_transcripts, write_transcripts_parquet,
+)
+from lindorm_tsdb_contest_java_spark.streaming.ingest import (
+    read_transcript_stream, run_available_now, streaming_conv_tier,
+)
+
+
+@pytest.fixture(scope="module")
+def small_pdf():
+    return generate_transcripts(n_conv=40, mean_turns=25, seed=7)
+
+
+def test_streaming_tier_equals_batch(spark, small_pdf, tmp_path):
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    # two "write batches" landing separately
+    half = len(small_pdf) // 2
+    write_transcripts_parquet(small_pdf.iloc[:half], f"{landing}/batch1.parquet")
+    write_transcripts_parquet(small_pdf.iloc[half:], f"{landing}/batch2.parquet")
+
+    out = str(tmp_path / "tier_stream")
+    ckpt = str(tmp_path / "ckpt")
+    tier = streaming_conv_tier(read_transcript_stream(spark, landing), width_s=60)
+    run_available_now(tier, out, ckpt)
+
+    got = (spark.read.parquet(out)
+           .groupBy("conv_id", "bucket_ms")  # merge partial emits across batches
+           .agg(F.sum("n_turns").alias("n_turns"),
+                F.sum("text_len_sum").alias("text_len_sum"),
+                F.min("text_len_min").alias("text_len_min"),
+                F.max("text_len_max").alias("text_len_max"))
+           .toPandas().sort_values(["conv_id", "bucket_ms"]).reset_index(drop=True))
+
+    batch_df = spark.createDataFrame(small_pdf)
+    expect = (batch_df
+              .withColumn("text_len", F.length("text").cast("long"))
+              .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+              .groupBy("conv_id",
+                       ((F.floor(F.col("ts_us") / F.lit(60_000_000))) * F.lit(60_000))
+                       .alias("bucket_ms"))
+              .agg(F.count("*").alias("n_turns"),
+                   F.sum("text_len").alias("text_len_sum"),
+                   F.min("text_len").alias("text_len_min"),
+                   F.max("text_len").alias("text_len_max"))
+              .toPandas().sort_values(["conv_id", "bucket_ms"]).reset_index(drop=True))
+
+    # append mode emits a window only once the watermark passes it; windows
+    # within the watermark horizon of the stream's max ts stay open and
+    # unemitted at availableNow termination — exact equality on the rest
+    max_ts_us = int(small_pdf["ts"].astype("int64").max() // 1000)
+    horizon_ms = max_ts_us // 1000 - 10 * 60 * 1000 - 60_000
+    closed = expect[expect["bucket_ms"] <= horizon_ms].reset_index(drop=True)
+    merged = got.merge(expect, on=list(got.columns), how="inner")
+    assert len(merged) == len(got), "every emitted window must match batch exactly"
+    assert len(got) >= len(closed), "all watermark-closed windows must be emitted"
+
+
+def test_streaming_resume_processes_only_new_files(spark, small_pdf, tmp_path):
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    # split by event time (not position): data older than the advanced
+    # watermark would be dropped as late, which is correct but not what
+    # this resume test exercises
+    by_ts = small_pdf.sort_values("ts").reset_index(drop=True)
+    write_transcripts_parquet(by_ts.iloc[:500], f"{landing}/b1.parquet")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    tier = streaming_conv_tier(read_transcript_stream(spark, landing), width_s=60)
+    run_available_now(tier, out, ckpt)
+    n1 = spark.read.parquet(out).agg(F.sum("n_turns")).collect()[0][0] or 0
+    assert n1 <= 500  # open windows may be withheld by the watermark
+
+    # resume with a new file: only the delta is processed, counts advance,
+    # and append mode never re-emits a window
+    write_transcripts_parquet(by_ts.iloc[500:700], f"{landing}/b2.parquet")
+    tier2 = streaming_conv_tier(read_transcript_stream(spark, landing), width_s=60)
+    run_available_now(tier2, out, ckpt)
+    final = spark.read.parquet(out)
+    n2 = final.agg(F.sum("n_turns")).collect()[0][0]
+    assert n1 < n2 <= 700
+    dup_windows = (final.groupBy("conv_id", "bucket_ms").count()
+                   .filter("count > 1").count())
+    assert dup_windows == 0

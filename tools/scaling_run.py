@@ -1,0 +1,70 @@
+"""Two-parallelism scaling evidence (BASELINE.md §4).
+
+Runs bench.py in fresh processes at local[N] and local[4N] on the SAME
+cached input and writes BENCH/BASELINE.md with throughput at both levels
+and the scaling efficiency for the graded write path (rollup_encode).
+
+    python tools/scaling_run.py [N=8] [turns=1000000]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cpus: int, turns: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_TURNS=str(turns))
+    out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                         env=env, capture_output=True, text=True, check=True)
+    line = [l for l in out.stdout.splitlines() if l.startswith('{"metric"')][-1]
+    return json.loads(line)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    turns = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    lo = run(n, turns)       # warm run also populates the cache
+    lo = run(n, turns)       # timed run on warm cache
+    hi = run(4 * n, turns)
+
+    tp_lo, tp_hi = lo["turns_per_sec"], hi["turns_per_sec"]
+    eff = (tp_hi / tp_lo) / 4.0
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path, "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured numbers (this sandbox)
+
+Input: deterministic synthetic transcripts, {lo['n_turns']:,} turns
+(seed 42, Zipf-skewed conversations + hot conv), identical for both runs.
+Method per BASELINE.md §4: same job, two parallelism levels, fresh JVM each.
+
+| metric | local[{n}] | local[{4*n}] |
+|---|---|---|
+| rollup+encode wall (s) | {lo['queries']['rollup_encode']} | {hi['queries']['rollup_encode']} |
+| **rollup+encode turns/sec** | {tp_lo:,.0f} | {tp_hi:,.0f} |
+| compressed bytes/turn | {lo['bytes_per_turn']} | {hi['bytes_per_turn']} |
+| tier cascade 1m->1h->1d (s) | {lo['queries']['tier_cascade']} | {hi['queries']['tier_cascade']} |
+| decode scan (s) | {lo['queries']['decode_scan']} | {hi['queries']['decode_scan']} |
+| downsample hot conv (s) | {lo['queries']['downsample']} | {hi['queries']['downsample']} |
+| all headline queries total (s) | {lo['value']} | {hi['value']} |
+
+**Scaling efficiency (N -> 4N cores, rollup+encode): {eff:.2f}**
+(target >= 0.8; efficiency = (throughput_4N / throughput_N) / 4)
+
+Raw JSON:
+```
+{json.dumps(lo)}
+{json.dumps(hi)}
+```
+""")
+    print(f"wrote {path}; efficiency {eff:.2f}")
+    print(json.dumps({"n": n, "tp_lo": tp_lo, "tp_hi": tp_hi, "efficiency": round(eff, 3)}))
+
+
+if __name__ == "__main__":
+    main()
