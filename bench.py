@@ -76,7 +76,7 @@ def main():
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     tpath = bench_table(n_turns_target)
-    spark = get_spark("bench", parallelism=cpus, shuffle_partitions=max(cpus, 16))
+    spark = get_spark("bench", parallelism=cpus)
     timings: dict[str, float] = {}
 
     def timed(name):
@@ -105,6 +105,14 @@ def main():
     chunk_us = 86_400 * 1_000_000
     n_chunks = 30
     n_buckets = max(8, min(1024, n_turns // (n_chunks * 4000)))
+
+    # JIT warmup: push a slice of the data through the exact encode plan
+    # (windows, python groups, parquet write) so the timed run measures the
+    # engine, not HotSpot compilation (~30s constant per fresh JVM)
+    warm = canonicalize(raw.filter(F.dayofmonth("ts") <= 4),
+                        n_buckets=n_buckets, chunk_us=chunk_us)
+    encode_segments(warm).write.mode("overwrite").parquet(seg_path)
+
     with timed("rollup_encode"):
         canon = canonicalize(raw, n_buckets=n_buckets, chunk_us=chunk_us)
         segs = encode_segments(canon)

@@ -19,8 +19,13 @@ def get_spark(
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
     cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    shuffle = shuffle_partitions or max(cpus, 8)
-    driver_mem = os.environ.get("SPARK_DRIVER_MEM", "48g")
+    # several partitions per core: large text-heavy sort tasks spill and
+    # GC-thrash (measured 25.9s @1x vs 3.8s @6x partitions on 6M rows);
+    # AQE coalesces the small ones back, so over-partitioning is cheap
+    shuffle = shuffle_partitions or max(cpus * 6, 48)
+    # 12g measured fastest & most stable for the bench workloads — larger
+    # heaps (24g/48g) gave erratic multi-second G1 pauses on this box
+    driver_mem = os.environ.get("SPARK_DRIVER_MEM", "12g")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
