@@ -174,13 +174,28 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     }])
 
 
-def encode_segments(canonical: DataFrame) -> DataFrame:
+def encode_segments(canonical: DataFrame,
+                    max_rows_per_conv: int | None = None) -> DataFrame:
     """canonical transcripts → one encoded segment row per (bucket, chunk).
 
     groupBy keys are the partition/zone columns, so the shuffle this
     induces is exactly the reference's shard routing; AQE coalesces or
     splits skewed groups at runtime.
+
+    max_rows_per_conv is the explicit skew valve the north_rule asks for:
+    a hot conversation is split into deterministic turn-index runs of at
+    most that many rows (salt = turn_idx // max_rows_per_conv), so no
+    single pandas group — and no single shuffle partition — holds an
+    unbounded conversation. The salt changes segment boundaries only,
+    never content ordering: decode+sort output is identical.
     """
+    if max_rows_per_conv:
+        salted = canonical.withColumn(
+            "_seg_salt", F.floor(F.col("turn_idx") / F.lit(max_rows_per_conv)))
+        return (salted
+                .groupBy("conv_bucket", "time_chunk", "_seg_salt")
+                .applyInPandas(lambda pdf: _encode_group(pdf.drop(columns=["_seg_salt"])),
+                               schema=SEGMENT_SCHEMA))
     return (
         canonical
         .groupBy("conv_bucket", "time_chunk")

@@ -1,0 +1,74 @@
+"""Tier routing correctness + skew-splitting round-trip."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lindorm_tsdb_contest_java_spark.operators import queries as Q
+from lindorm_tsdb_contest_java_spark.operators.tiers import MINUTE_MS, build_conv_tier
+from lindorm_tsdb_contest_java_spark.plans.router import routed_aggregate
+from lindorm_tsdb_contest_java_spark.sources.segments import (
+    canonicalize, decode_segments, encode_segments,
+)
+
+HOT = "conv-00000000"
+
+
+@pytest.fixture(scope="module")
+def canon(transcripts_df):
+    return canonicalize(transcripts_df, n_buckets=8).cache()
+
+
+@pytest.fixture(scope="module")
+def tier_1m(canon):
+    return build_conv_tier(canon, MINUTE_MS).cache()
+
+
+def _bounds(canon, conv):
+    r = canon.filter(F.col("conv_id") == conv).agg(
+        F.min("ts_us"), F.max("ts_us")).collect()[0]
+    return int(r[0] // 1000), int(r[1] // 1000) + 1
+
+
+@pytest.mark.parametrize("column,agg", [
+    ("text_len", "AVG"), ("text_len", "MAX"),
+    ("latency_s", "AVG"), ("latency_s", "MAX"),
+])
+@pytest.mark.parametrize("align", ["unaligned", "aligned", "tiny"])
+def test_routed_aggregate_equals_direct(canon, tier_1m, column, agg, align):
+    lb, ub = _bounds(canon, HOT)
+    if align == "aligned":
+        lb = (lb // MINUTE_MS) * MINUTE_MS
+        ub = -(-ub // MINUTE_MS) * MINUTE_MS
+    elif align == "tiny":  # inside one tier bucket: no interior at all
+        lb, ub = lb + 7, lb + 31_000
+    direct = Q.aggregate(canon, HOT, column, lb, ub, agg).collect()
+    routed = routed_aggregate(canon, tier_1m, HOT, column, lb, ub, agg).collect()
+    assert len(direct) == len(routed) == 1
+    assert routed[0]["ts_ms"] == lb
+    assert routed[0]["value"] == pytest.approx(direct[0]["value"], rel=1e-12)
+
+
+def test_routed_aggregate_empty_range_empty(canon, tier_1m):
+    out = routed_aggregate(canon, tier_1m, HOT, "text_len", 1000, 61_000, "AVG")
+    assert out.count() == 0
+
+
+def test_skew_split_segments_roundtrip(canon):
+    plain = encode_segments(canon)
+    split = encode_segments(canon, max_rows_per_conv=500)
+    # the hot conversation must actually split into more segments
+    assert split.count() > plain.count()
+    # capped group sizes
+    assert split.agg(F.max("n_rows")).collect()[0][0] <= \
+        plain.agg(F.max("n_rows")).collect()[0][0]
+    cols = ["conv_id", "turn_idx", "text", "ts_us", "latency_s"]
+    a = (decode_segments(plain, cols).toPandas()
+         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    b = (decode_segments(split, cols).toPandas()
+         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert len(a) == len(b)
+    for c in ["conv_id", "turn_idx", "text", "ts_us"]:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+    assert (a["latency_s"].to_numpy().view(np.uint64)
+            == b["latency_s"].to_numpy().view(np.uint64)).all()

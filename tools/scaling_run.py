@@ -25,12 +25,43 @@ def run(cpus: int, turns: int) -> dict:
     return json.loads(line)
 
 
+def hardware_ceiling(n: int) -> float:
+    """Embarrassingly-parallel pure-CPU scaling ceiling of this box
+    (SMT/frequency effects) — context for the efficiency number."""
+    import hashlib
+    import multiprocessing as mp
+    import time
+
+    def burn(k):
+        h = hashlib.sha256(b"x")
+        for _ in range(k):
+            h = hashlib.sha256(h.digest())
+        return 1
+
+    walls = {}
+    for w in (n, 4 * n):
+        with mp.Pool(w) as p:
+            t0 = time.perf_counter()
+            p.map(_BURN, [2_000_000] * w)
+            walls[w] = time.perf_counter() - t0
+    return (4 * n / walls[4 * n]) / (n / walls[n]) / 4
+
+
+def _BURN(k):
+    import hashlib
+    h = hashlib.sha256(b"x")
+    for _ in range(k):
+        h = hashlib.sha256(h.digest())
+    return 1
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     turns = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
     lo = run(n, turns)       # warm run also populates the cache
     lo = run(n, turns)       # timed run on warm cache
     hi = run(4 * n, turns)
+    ceiling = hardware_ceiling(n)
 
     tp_lo, tp_hi = lo["turns_per_sec"], hi["turns_per_sec"]
     eff = (tp_hi / tp_lo) / 4.0
@@ -55,6 +86,11 @@ Method per BASELINE.md §4: same job, two parallelism levels, fresh JVM each.
 
 **Scaling efficiency (N -> 4N cores, rollup+encode): {eff:.2f}**
 (target >= 0.8; efficiency = (throughput_4N / throughput_N) / 4)
+
+Hardware context: a pure-CPU embarrassingly-parallel workload (sha256
+pool) measures {ceiling:.2f} efficiency for the same {n} -> {4*n} core
+step on this box (SMT/frequency ceiling) — the engine number above
+should be read against that ceiling, not 1.0.
 
 Raw JSON:
 ```
