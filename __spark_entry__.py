@@ -241,6 +241,50 @@ def _q_mktsegment_revenue(spark, sf_dir):
 
 # ---- datapipe: dedup / similarity / text analysis ----
 
+def _q_percentile_latency(spark, sf_dir):
+    # exact interpolated percentiles (Spark F.percentile == SQL
+    # quantile_cont definition); approximate sketches (percentile_approx /
+    # t-digest tiers) are engine-specific and live in the rate tiers
+    canon = events_canonical(spark, sf_dir)
+    return (canon.groupBy("role")
+            .agg(F.round(F.percentile("latency_s", F.lit(0.5)), 6).alias("p50"),
+                 F.round(F.percentile("latency_s", F.lit(0.9)), 6).alias("p90"),
+                 F.count("*").alias("n_turns")))
+
+
+def _q_except_new_convs(spark, sf_dir):
+    """(conv, weekday-slot) pairs active in week 2 but not in week 1 —
+    EXCEPT over composite keys (set-op churn analysis)."""
+    canon = events_canonical(spark, sf_dir)
+    day = (F.floor((F.col("ts_us") - F.lit(JAN1_MS * 1000)) / F.lit(86_400_000_000))
+           % 7).alias("weekday")
+    wk = 7 * 86_400_000_000
+    w1 = (canon.filter(F.col("ts_us") < JAN1_MS * 1000 + wk)
+          .select("conv_id", day).distinct())
+    w2 = (canon.filter((F.col("ts_us") >= JAN1_MS * 1000 + wk)
+                       & (F.col("ts_us") < JAN1_MS * 1000 + 2 * wk))
+          .select("conv_id", day).distinct())
+    return w2.exceptAll(w1)
+
+
+def _q_topk_convs_rank(spark, sf_dir):
+    from pyspark.sql.window import Window
+    canon = events_canonical(spark, sf_dir)
+    sizes = canon.groupBy("conv_id").agg(F.count("*").alias("n_turns"),
+                                         F.sum("text_len").alias("total_chars"))
+    w = Window.orderBy(F.col("n_turns").desc(), F.col("conv_id"))
+    return (sizes.withColumn("rnk", F.dense_rank().over(w))
+            .filter(F.col("rnk") <= 10)
+            .select("conv_id", "n_turns", "total_chars", "rnk"))
+
+
+def _q_cube_role_tool(spark, sf_dir):
+    canon = events_canonical(spark, sf_dir)
+    return (canon.cube("role", "tool")
+            .agg(F.count("*").alias("n_turns"),
+                 F.sum("text_len").alias("total_chars")))
+
+
 def _q_dedup_exact(spark, sf_dir):
     return DP.exact_dedup_groups(_docs_with_dups(spark, sf_dir), "doc_id")
 
@@ -335,6 +379,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational breadth (Spark built-ins; absent in reference §2.3)
         "tpch_q1": _q_tpch_q1,
         "mktsegment_revenue": _q_mktsegment_revenue,
+        # percentiles / set ops / ranking / grouping sets (Spark extras)
+        "percentile_latency": _q_percentile_latency,
+        "except_new_convs": _q_except_new_convs,
+        "topk_convs_rank": _q_topk_convs_rank,
+        "cube_role_tool": _q_cube_role_tool,
         # training-data pipeline ops
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -529,6 +578,34 @@ SELECT c_mktsegment, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_c
        COUNT(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
+""",
+        "percentile_latency": C + """
+SELECT role, ROUND(quantile_cont(latency_s, 0.5), 6) AS p50,
+       ROUND(quantile_cont(latency_s, 0.9), 6) AS p90,
+       COUNT(*) AS n_turns
+FROM canonical GROUP BY role
+""",
+        "except_new_convs": C + f"""
+SELECT DISTINCT conv_id,
+       CAST(FLOOR((ts_us - {JAN1_MS * 1000}) / 86400000000) AS BIGINT) % 7 AS weekday
+FROM canonical
+WHERE ts_us >= {JAN1_MS * 1000 + 7 * 86_400_000_000}
+  AND ts_us < {JAN1_MS * 1000 + 14 * 86_400_000_000}
+EXCEPT
+SELECT DISTINCT conv_id,
+       CAST(FLOOR((ts_us - {JAN1_MS * 1000}) / 86400000000) AS BIGINT) % 7 AS weekday
+FROM canonical WHERE ts_us < {JAN1_MS * 1000 + 7 * 86_400_000_000}
+""",
+        "topk_convs_rank": C + """
+SELECT conv_id, n_turns, total_chars, rnk FROM (
+  SELECT conv_id, COUNT(*) AS n_turns, SUM(text_len) AS total_chars,
+         DENSE_RANK() OVER (ORDER BY COUNT(*) DESC, conv_id) AS rnk
+  FROM canonical GROUP BY conv_id
+) WHERE rnk <= 10
+""",
+        "cube_role_tool": C + """
+SELECT role, tool, COUNT(*) AS n_turns, SUM(text_len) AS total_chars
+FROM canonical GROUP BY CUBE (role, tool)
 """,
         "dedup_exact": "WITH " + _DOCS_DUPS_SQL + """
 SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id

@@ -28,10 +28,15 @@ _MODE_DICT = 1
 
 
 def _utf8_lengths_and_data(values) -> tuple[np.ndarray, bytes]:
-    arr = pa.array(values, type=pa.string())
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        arr = values
+    else:
+        arr = pa.array(values, type=pa.string())
     if arr.null_count:
         raise ValueError("nulls not allowed (reference write contract)")
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
     buffers = arr.buffers()
     offsets = np.frombuffer(buffers[1], dtype=np.int32, count=len(arr) + 1 + arr.offset)
     offsets = offsets[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
@@ -73,7 +78,26 @@ def dict_encode(values, level: int = 3, max_card_frac: float = 0.5) -> bytes:
     Falls back to the raw text stream when the column isn't dictionary-
     friendly (cardinality > max_card_frac * n), mirroring the reference's
     dict-vs-raw dispatch (StringCompress.java:146-166).
+
+    Accepts a pyarrow string array directly (arrow-native encode path:
+    dictionary_encode happens without materializing Python strings).
     """
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        arr = values.combine_chunks() if isinstance(values, pa.ChunkedArray) else values
+        d = arr.dictionary_encode()
+        uniques_arr = d.dictionary
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        n = len(codes)
+        if n > 0 and len(uniques_arr) > max(4, int(n * max_card_frac)):
+            return text_encode(arr, level)
+        lengths, data = _utf8_lengths_and_data(uniques_arr)
+        payload = pack_sections(
+            varint_encode(np.asarray([len(uniques_arr)], dtype=np.uint64)),
+            varint_encode(lengths.astype(np.uint64)),
+            data,
+            varint_encode(codes.astype(np.uint64)),
+        )
+        return _HDR.pack(_MODE_DICT, n) + zstd_compress(payload, level)
     codes, uniques = pd.factorize(pd.Series(values, dtype=object), sort=False)
     n = len(codes)
     if n > 0 and len(uniques) > max(4, int(n * max_card_frac)):

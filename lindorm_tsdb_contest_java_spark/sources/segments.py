@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     BinaryType, DoubleType, IntegerType, LongType, StringType,
@@ -174,6 +175,64 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     }])
 
 
+_SEGMENT_PA_SCHEMA = pa.schema(
+    [pa.field("conv_bucket", pa.int32())]
+    + [pa.field(n, pa.int64()) for n in
+       ("time_chunk", "n_rows", "n_convs", "min_ts_us", "max_ts_us",
+        "text_len_min", "text_len_max", "text_len_sum")]
+    + [pa.field(n, pa.float64()) for n in ("latency_min", "latency_max", "latency_sum")]
+    + [pa.field(n, pa.int64()) for n in ("turn_idx_min", "turn_idx_max")]
+    + [pa.field(n, pa.binary()) for n in
+       ("blob_ts", "blob_turn_idx", "blob_text_len", "blob_latency",
+        "blob_conv_id", "blob_role", "blob_tool", "blob_text")]
+    + [pa.field("encoded_bytes", pa.int64())]
+)
+
+
+def _encode_group_arrow(tbl: pa.Table) -> pa.Table:
+    """Arrow-native encode: sort + column extraction stay in Arrow, text
+    bytes go straight from the Arrow buffer into the codec — no Python
+    string objects are ever materialized (the applyInPandas version's
+    dominant memory-bandwidth cost)."""
+    tbl = tbl.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending"),
+                       ("ts_us", "ascending")])
+    ts = tbl.column("ts_us").to_numpy(zero_copy_only=False).astype(np.int64)
+    turn = tbl.column("turn_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+    tlen = tbl.column("text_len").to_numpy(zero_copy_only=False).astype(np.int64)
+    lat = tbl.column("latency_s").to_numpy(zero_copy_only=False).astype(np.float64)
+    conv_arr = tbl.column("conv_id").combine_chunks()
+    blobs = {
+        "blob_ts": dod_encode(ts),
+        "blob_turn_idx": dod_encode(turn),
+        "blob_text_len": dod_encode(tlen),
+        "blob_latency": gorilla_encode(lat),
+        "blob_conv_id": dict_encode(conv_arr),
+        "blob_role": dict_encode(tbl.column("role").combine_chunks()),
+        "blob_tool": dict_encode(tbl.column("tool").combine_chunks()),
+        "blob_text": text_encode(tbl.column("text").combine_chunks()),
+    }
+    row = {
+        "conv_bucket": [int(tbl.column("conv_bucket")[0].as_py())],
+        "time_chunk": [int(tbl.column("time_chunk")[0].as_py())],
+        "n_rows": [len(ts)],
+        "n_convs": [len(conv_arr.unique())],
+        "min_ts_us": [int(ts.min())],
+        "max_ts_us": [int(ts.max())],
+        "text_len_min": [int(tlen.min())],
+        "text_len_max": [int(tlen.max())],
+        "text_len_sum": [int(tlen.sum())],
+        "latency_min": [float(lat.min())],
+        "latency_max": [float(lat.max())],
+        "latency_sum": [float(lat.sum())],
+        "turn_idx_min": [int(turn.min())],
+        "turn_idx_max": [int(turn.max())],
+        **{k: [v] for k, v in blobs.items()},
+        "encoded_bytes": [sum(len(b) for b in blobs.values())],
+    }
+    return pa.table({f.name: row[f.name] for f in _SEGMENT_PA_SCHEMA},
+                    schema=_SEGMENT_PA_SCHEMA)
+
+
 def encode_segments(canonical: DataFrame,
                     max_rows_per_conv: int | None = None) -> DataFrame:
     """canonical transcripts → one encoded segment row per (bucket, chunk).
@@ -192,14 +251,16 @@ def encode_segments(canonical: DataFrame,
     if max_rows_per_conv:
         salted = canonical.withColumn(
             "_seg_salt", F.floor(F.col("turn_idx") / F.lit(max_rows_per_conv)))
+        def encode_salted(t: pa.Table) -> pa.Table:
+            return _encode_group_arrow(t.drop_columns(["_seg_salt"]))
+
         return (salted
                 .groupBy("conv_bucket", "time_chunk", "_seg_salt")
-                .applyInPandas(lambda pdf: _encode_group(pdf.drop(columns=["_seg_salt"])),
-                               schema=SEGMENT_SCHEMA))
+                .applyInArrow(encode_salted, schema=SEGMENT_SCHEMA))
     return (
         canonical
         .groupBy("conv_bucket", "time_chunk")
-        .applyInPandas(_encode_group, schema=SEGMENT_SCHEMA)
+        .applyInArrow(_encode_group_arrow, schema=SEGMENT_SCHEMA)
     )
 
 
