@@ -72,6 +72,46 @@ def text_decode(blob: bytes) -> np.ndarray:
     return _text_decode_body(n, zstd_decompress(blob[_HDR.size :]))
 
 
+def _text_decode_arrow_body(n: int, payload: bytes) -> pa.Array:
+    lens_blob, data = unpack_sections(payload, 2)
+    lengths = varint_decode(lens_blob, n).astype(np.int32)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data))
+
+
+def text_decode_arrow(blob: bytes) -> pa.Array:
+    """Arrow-native decode: bytes land directly in a StringArray buffer."""
+    mode, n = _HDR.unpack_from(blob, 0)
+    if mode != _MODE_RAW:
+        raise ValueError(f"not a text stream (mode {mode})")
+    if n == 0:
+        return pa.array([], type=pa.string())
+    return _text_decode_arrow_body(n, zstd_decompress(blob[_HDR.size :]))
+
+
+def dict_decode_arrow(blob: bytes) -> pa.Array:
+    """Arrow-native dictionary decode: dictionary take, no Python strings."""
+    import pyarrow.compute as pc
+
+    mode, n = _HDR.unpack_from(blob, 0)
+    if mode == _MODE_RAW:
+        return text_decode_arrow(blob)
+    if n == 0:
+        return pa.array([], type=pa.string())
+    payload = zstd_decompress(blob[_HDR.size :])
+    n_uniq_blob, lens_blob, data, codes_blob = unpack_sections(payload, 4)
+    n_uniq = int(varint_decode(n_uniq_blob, 1)[0])
+    lengths = varint_decode(lens_blob, n_uniq).astype(np.int32)
+    offsets = np.zeros(n_uniq + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    uniques = pa.StringArray.from_buffers(
+        n_uniq, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data))
+    codes = varint_decode(codes_blob, n).astype(np.int32)
+    return pc.take(uniques, pa.array(codes))
+
+
 def dict_encode(values, level: int = 3, max_card_frac: float = 0.5) -> bytes:
     """Low-cardinality strings -> dictionary codes + dictionary blob.
 

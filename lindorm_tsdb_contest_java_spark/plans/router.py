@@ -30,6 +30,11 @@ _TIER_COLS = {
     "latency_s": ("latency_sum", "latency_max"),
 }
 
+_TIER_MINMAX = {
+    "text_len": ("text_len_min", "text_len_max"),
+    "latency_s": ("latency_min", "latency_max"),
+}
+
 
 def routed_aggregate(
     raw: DataFrame,
@@ -81,4 +86,111 @@ def routed_aggregate(
         parts.agg(value.alias("value"), F.sum("_cnt").alias("_n"))
         .filter(F.col("_n") > 0)  # reference: empty range -> empty result
         .select(F.lit(conv_id).alias("conv_id"), F.lit(lb_ms).alias("ts_ms"), "value")
+    )
+
+
+def routed_downsample(
+    raw: DataFrame,
+    tier_1m: DataFrame,
+    conv_id: str,
+    column: str,
+    lb_ms: int,
+    ub_ms: int,
+    interval_ms: int,
+    agg: str,
+    filter_op: str | None = None,
+    filter_value=None,
+    tier_width_ms: int = MINUTE_MS,
+) -> DataFrame:
+    """Tier-accelerated filtered downsample — the reference's AggBucket
+    classification (TSDBEngineImpl.java:489-494,519-521) as one plan:
+
+    - a tier bucket whose column-min already passes the filter contributes
+      its pre-aggregated (sum, count, max) without touching raw data;
+    - a bucket whose column-max fails the filter contributes nothing;
+    - only *straddling* buckets (filter cuts through the value range) are
+      recomputed from raw rows — the analog of decoding a straddling block.
+
+    Requires lb/interval aligned to the tier grid; falls back to the plain
+    downsample otherwise. Unfiltered queries classify every bucket as
+    fully-passing. Sentinel/empty-range semantics identical to
+    operators.queries.downsample (the plain operator is the oracle in
+    tests/test_router_skew.py).
+    """
+    from ..operators import queries as Q
+
+    if (lb_ms % tier_width_ms) or (interval_ms % tier_width_ms) or \
+            (ub_ms - lb_ms) % interval_ms:
+        return Q.downsample(raw, conv_id, column, lb_ms, ub_ms, interval_ms,
+                            agg, filter_op, filter_value)
+    n_windows = (ub_ms - lb_ms) // interval_ms
+    spark = raw.sparkSession
+    sum_col, _ = _TIER_COLS[column]
+    min_col, max_col = _TIER_MINMAX[column]
+
+    buckets = tier_1m.filter(
+        (F.col("conv_id") == conv_id)
+        & (F.col("bucket_ms") >= lb_ms) & (F.col("bucket_ms") < ub_ms))
+    if filter_op is None:
+        pass_all = F.lit(True)
+        pass_none = F.lit(False)
+    elif filter_op == Q.GREATER:
+        pass_all = F.col(min_col) > F.lit(filter_value)
+        pass_none = F.col(max_col) <= F.lit(filter_value)
+    elif filter_op == Q.EQUAL:
+        pass_all = (F.col(min_col) == F.lit(filter_value)) & \
+                   (F.col(max_col) == F.lit(filter_value))
+        pass_none = (F.col(max_col) < F.lit(filter_value)) | \
+                    (F.col(min_col) > F.lit(filter_value))
+    else:
+        raise ValueError(f"unsupported compare op {filter_op!r}")
+
+    w_of_bucket = F.floor((F.col("bucket_ms") - F.lit(lb_ms)) / F.lit(interval_ms))
+    covered = (buckets.filter(pass_all)
+               .select(w_of_bucket.alias("_w"),
+                       F.col(sum_col).cast("double").alias("_sum"),
+                       F.col("n_turns").alias("_cnt"),
+                       F.col(max_col).cast("double").alias("_max")))
+
+    straddle = (buckets.filter(~pass_all & ~pass_none)
+                .select(F.col("bucket_ms").alias("_sb")))
+    raw_bucket = (F.floor(F.col("ts_us") / F.lit(tier_width_ms * 1000))
+                  * F.lit(tier_width_ms))
+    survivors = F.when(Q._pred(column, filter_op, filter_value), F.col(column))
+    from_raw = (
+        raw.filter(F.col("conv_id") == conv_id)
+        .join(F.broadcast(straddle), raw_bucket == F.col("_sb"))
+        .select(
+            F.floor((F.col("_sb") - F.lit(lb_ms)) / F.lit(interval_ms)).alias("_w"),
+            survivors.cast("double").alias("_v"))
+        .groupBy("_w")
+        .agg(F.sum("_v").alias("_sum"), F.count("_v").alias("_cnt"),
+             F.max("_v").alias("_max"))
+    )
+
+    parts = covered.unionByName(from_raw)
+    if agg == Q.AVG:
+        value = (F.sum("_sum") / F.sum("_cnt")).cast("double")
+        sentinel = F.lit(Q.DOUBLE_SENTINEL)
+    elif agg == Q.MAX:
+        value = F.max("_max")
+        sentinel = (F.lit(Q.INT_SENTINEL).cast("double") if column == "text_len"
+                    else F.lit(Q.DOUBLE_SENTINEL))
+    else:
+        raise ValueError(f"unsupported agg {agg!r}")
+    per_window = (parts.groupBy("_w")
+                  .agg(value.alias("_v"), F.sum("_cnt").alias("_n"))
+                  .withColumn("_v", F.when(F.col("_n") > 0, F.col("_v"))))
+
+    # empty-range marker from the tier (bucket counts cover all raw rows)
+    marker = (buckets.agg(F.sum("n_turns").alias("_any"))
+              .filter(F.col("_any") > 0).select(F.lit(1).alias("_one")))
+    skeleton = spark.range(n_windows).select(F.col("id").alias("_w"))
+    return (
+        skeleton.crossJoin(F.broadcast(marker))
+        .join(per_window, "_w", "left")
+        .select(F.lit(conv_id).alias("conv_id"),
+                (F.lit(lb_ms) + F.col("_w") * F.lit(interval_ms)).alias("ts_ms"),
+                F.coalesce(F.col("_v"), sentinel).alias("value"))
+        .orderBy("ts_ms")
     )

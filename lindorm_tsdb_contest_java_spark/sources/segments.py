@@ -42,6 +42,7 @@ from ..functions.codecs import (
     dict_decode, dict_encode, dod_decode, dod_encode,
     gorilla_decode, gorilla_encode, text_decode, text_encode,
 )
+from ..functions.codecs.strings import dict_decode_arrow, text_decode_arrow
 
 DEFAULT_N_BUCKETS = 64
 DEFAULT_CHUNK_US = 6 * 3600 * 1_000_000  # 6h time chunks
@@ -293,33 +294,43 @@ def decode_segments(segments: DataFrame, columns: list[str] | None = None) -> Da
     out_schema = decoded_row_schema(columns)
     needed_blobs = sorted({_BLOB_OF[c] for c in columns if c in _BLOB_OF})
     scan_cols = ["conv_bucket", "time_chunk", "n_rows", *needed_blobs]
+    pa_fields = {
+        "conv_bucket": pa.int32(), "time_chunk": pa.int64(),
+        "conv_id": pa.string(), "turn_idx": pa.int32(), "role": pa.string(),
+        "text": pa.string(), "tool": pa.string(), "ts_us": pa.int64(),
+        "text_len": pa.int64(), "latency_s": pa.float64(),
+    }
+    out_pa_schema = pa.schema([pa.field(c, pa_fields[c]) for c in columns])
 
     def decode_iter(batches):
-        for pdf in batches:
-            frames = []
-            for row in pdf.itertuples(index=False):
-                n = int(row.n_rows)
-                data = {}
+        # arrow-native: decoded bytes land in Arrow buffers directly;
+        # strings never materialize as Python objects
+        for batch in batches:
+            d = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+            for seg in range(batch.num_rows):
+                arrs = []
+                n = d["n_rows"][seg].as_py()
                 for c in columns:
                     if c == "conv_bucket":
-                        data[c] = np.full(n, row.conv_bucket, dtype=np.int32)
+                        arrs.append(pa.array(
+                            np.full(n, d["conv_bucket"][seg].as_py(), dtype=np.int32)))
                     elif c == "time_chunk":
-                        data[c] = np.full(n, row.time_chunk, dtype=np.int64)
+                        arrs.append(pa.array(
+                            np.full(n, d["time_chunk"][seg].as_py(), dtype=np.int64)))
                     elif c in ("ts_us", "text_len"):
-                        data[c] = dod_decode(bytes(getattr(row, _BLOB_OF[c])))
+                        arrs.append(pa.array(dod_decode(d[_BLOB_OF[c]][seg].as_py())))
                     elif c == "turn_idx":
-                        data[c] = dod_decode(bytes(row.blob_turn_idx)).astype(np.int32)
+                        arrs.append(pa.array(
+                            dod_decode(d["blob_turn_idx"][seg].as_py()).astype(np.int32)))
                     elif c == "latency_s":
-                        data[c] = gorilla_decode(bytes(row.blob_latency))
+                        arrs.append(pa.array(gorilla_decode(d["blob_latency"][seg].as_py())))
                     elif c == "text":
-                        data[c] = text_decode(bytes(row.blob_text))
+                        arrs.append(text_decode_arrow(d["blob_text"][seg].as_py()))
                     else:  # conv_id, role, tool
-                        data[c] = dict_decode(bytes(getattr(row, _BLOB_OF[c])))
-                frames.append(pd.DataFrame(data))
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+                        arrs.append(dict_decode_arrow(d[_BLOB_OF[c]][seg].as_py()))
+                yield pa.RecordBatch.from_arrays(arrs, schema=out_pa_schema)
 
-    return segments.select(*scan_cols).mapInPandas(decode_iter, schema=out_schema)
+    return segments.select(*scan_cols).mapInArrow(decode_iter, schema=out_schema)
 
 
 def with_ts(decoded: DataFrame) -> DataFrame:

@@ -72,3 +72,44 @@ def test_skew_split_segments_roundtrip(canon):
         assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
     assert (a["latency_s"].to_numpy().view(np.uint64)
             == b["latency_s"].to_numpy().view(np.uint64)).all()
+
+
+@pytest.mark.parametrize("column,agg,op,val", [
+    ("text_len", "AVG", "GREATER", 40),
+    ("text_len", "MAX", "GREATER", 40),
+    ("text_len", "AVG", "EQUAL", 0),
+    ("text_len", "MAX", "EQUAL", 0),
+    ("latency_s", "AVG", "GREATER", 30.0),
+    ("latency_s", "AVG", None, None),
+    ("latency_s", "MAX", None, None),
+])
+def test_routed_downsample_equals_plain(canon, tier_1m, column, agg, op, val):
+    from lindorm_tsdb_contest_java_spark.plans.router import routed_downsample
+
+    lb, ub = _bounds(canon, HOT)
+    interval = 300_000  # 5 min, aligned to the 1m tier grid
+    lb = (lb // interval) * interval
+    n = (ub - lb + interval - 1) // interval
+    ub = lb + n * interval
+    plain = Q.downsample(canon, HOT, column, lb, ub, interval, agg, op, val).toPandas()
+    routed = routed_downsample(canon, tier_1m, HOT, column, lb, ub, interval,
+                               agg, op, val).toPandas()
+    assert list(routed["ts_ms"]) == list(plain["ts_ms"])
+    pv = plain["value"].to_numpy(dtype=float)
+    rv = routed["value"].to_numpy(dtype=float)
+    import numpy as np
+    sent = np.isinf(pv) | (pv == Q.INT_SENTINEL)
+    assert (np.isinf(rv) | (rv == Q.INT_SENTINEL))[sent].all()
+    np.testing.assert_allclose(rv[~sent], pv[~sent], rtol=1e-12)
+
+
+def test_routed_downsample_unaligned_falls_back(canon, tier_1m):
+    from lindorm_tsdb_contest_java_spark.plans.router import routed_downsample
+
+    lb, _ = _bounds(canon, HOT)
+    lb = lb - (lb % 60_000) + 7  # off the tier grid
+    out = routed_downsample(canon, tier_1m, HOT, "text_len", lb, lb + 3 * 60_000,
+                            60_000, "AVG", "GREATER", 0)
+    plain = Q.downsample(canon, HOT, "text_len", lb, lb + 3 * 60_000,
+                         60_000, "AVG", "GREATER", 0)
+    assert out.toPandas().equals(plain.toPandas())
