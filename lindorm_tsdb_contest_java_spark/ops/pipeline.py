@@ -47,19 +47,19 @@ class Checkpoint:
         with open(self.path) as f:
             return json.load(f)
 
-    def done_chunks(self, job: str, input_snapshot: int) -> set:
+    def done_chunks(self, job: str, input_snapshot: int) -> dict:
+        """chunk -> content fingerprint at the time it was completed."""
         st = self._load().get(job)
         if not st or st.get("input_snapshot") != input_snapshot:
-            return set()
-        return set(st.get("done", []))
+            return {}
+        return {int(k): v for k, v in st.get("done", {}).items()}
 
-    def mark_done(self, job: str, input_snapshot: int, chunk) -> None:
+    def mark_done(self, job: str, input_snapshot: int, chunk, fingerprint) -> None:
         st = self._load()
         entry = st.get(job)
         if not entry or entry.get("input_snapshot") != input_snapshot:
-            entry = {"input_snapshot": input_snapshot, "done": []}
-        if chunk not in entry["done"]:
-            entry["done"].append(chunk)
+            entry = {"input_snapshot": input_snapshot, "done": {}}
+        entry["done"][str(chunk)] = fingerprint
         st[job] = entry
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
@@ -110,10 +110,22 @@ class RollupPipeline:
             canon.unpersist()
 
     def _run_chunks(self, canon: DataFrame, input_snapshot: int) -> dict:
-        chunks = sorted(r[0] for r in canon.select("time_chunk").distinct().collect())
+        # per-chunk content fingerprint (count + ts bounds + key hash-sum):
+        # incremental processing redoes exactly the chunks whose content
+        # changed since the checkpoint — new data appended into an old
+        # chunk invalidates only that chunk, not the whole run
+        fp_rows = (canon.groupBy("time_chunk").agg(
+            F.count("*").alias("n"), F.max("ts_us").alias("mx"),
+            F.sum(F.xxhash64("conv_id", "turn_idx", "ts_us").cast("decimal(38,0)"))
+             .alias("h"),  # decimal sum: immune to ANSI long overflow
+        ).collect())
+        fingerprints = {int(r["time_chunk"]): f'{r["n"]}:{r["mx"]}:{r["h"]}'
+                        for r in fp_rows}
+        chunks = sorted(fingerprints)
         done = self.checkpoint.done_chunks("rollup", input_snapshot)
-        todo = [c for c in chunks if c not in done]
-        metrics = {"chunks_total": len(chunks), "chunks_done": len(done),
+        todo = [c for c in chunks if done.get(c) != fingerprints[c]]
+        metrics = {"chunks_total": len(chunks),
+                   "chunks_done": len(chunks) - len(todo),
                    "chunks_run": 0, "rows": 0, "encoded_bytes": 0}
         seg_table = self.table("segments")
         t1m_conv = self.table("tier_conv_1m")
@@ -140,7 +152,8 @@ class RollupPipeline:
                                              if f["partition"].get("time_chunk") == int(chunk)})),
                 row_count=n_rows, encoded_bytes=enc_bytes, wall_s=wall,
             )
-            self.checkpoint.mark_done("rollup", input_snapshot, int(chunk))
+            self.checkpoint.mark_done("rollup", input_snapshot, int(chunk),
+                                      fingerprints[chunk])
             metrics["chunks_run"] += 1
             metrics["rows"] += n_rows
             metrics["encoded_bytes"] += enc_bytes

@@ -97,3 +97,25 @@ def test_snapshot_table_partition_replace(spark, tmp_path):
     snap = t.current()
     assert snap.operation == "overwrite_partitions"
     assert snap.parent_id == snap.snapshot_id - 1
+
+
+def test_incremental_append_reprocesses_only_changed_chunks(spark, transcripts_pdf, tmp_path):
+    """New data appended into existing chunks invalidates exactly those
+    chunks' fingerprints — the incremental-processing contract."""
+    import pandas as pd
+
+    root = str(tmp_path / "incr")
+    by_ts = transcripts_pdf.sort_values("ts").reset_index(drop=True)
+    first = spark.createDataFrame(by_ts.iloc[: len(by_ts) * 3 // 4])
+    m1 = RollupPipeline(spark, root, n_buckets=8, chunk_us=CHUNK_US).run(first, input_snapshot=1)
+    assert m1["chunks_run"] == m1["chunks_total"]
+
+    # append the remaining quarter (touches the tail chunks only)
+    full = spark.createDataFrame(by_ts)
+    m2 = RollupPipeline(spark, root, n_buckets=8, chunk_us=CHUNK_US).run(full, input_snapshot=1)
+    assert 0 < m2["chunks_run"] < m2["chunks_total"], m2
+
+    # final state equals a from-scratch run on the full data
+    clean = str(tmp_path / "incr_clean")
+    RollupPipeline(spark, clean, n_buckets=8, chunk_us=CHUNK_US).run(full, input_snapshot=1)
+    assert _hashes(spark, root) == _hashes(spark, clean)
