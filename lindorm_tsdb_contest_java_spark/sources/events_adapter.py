@@ -25,7 +25,16 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 
+def ensure_utc(spark: SparkSession) -> None:
+    """The NTZ->timestamp cast under unix_micros is tz-sensitive; the
+    oracle (duckdb epoch_us on naive timestamps) is effectively UTC. The
+    driver may hand us a session with any timezone, so pin it here —
+    session timeZone is a runtime conf, safe to set at any point."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 

@@ -112,6 +112,9 @@ def canonicalize(
     """
     from pyspark.sql.window import Window
 
+    # unix_micros over an NTZ cast is session-timezone-sensitive: pin UTC
+    df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+
     # one explicit shuffle on conv_id serves BOTH window operators below:
     # hashpartitioning(conv_id) satisfies the (conv_id, turn_idx) dedup
     # window's clustering too (subset rule), so Catalyst inserts sorts but
