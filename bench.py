@@ -112,6 +112,8 @@ def main():
     warm = canonicalize(raw.filter(F.dayofmonth("ts") <= 4),
                         n_buckets=n_buckets, chunk_us=chunk_us)
     encode_segments(warm).write.mode("overwrite").parquet(seg_path)
+    raw.agg(F.sum(F.length("text"))).collect()  # full scan: page-cache warm
+    # (count() alone reads only parquet footers)
 
     with timed("rollup_encode"):
         canon = canonicalize(raw, n_buckets=n_buckets, chunk_us=chunk_us)

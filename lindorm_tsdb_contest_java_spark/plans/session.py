@@ -32,6 +32,9 @@ def get_spark(
         # local mode defaults to 1g heap; effective only when this call
         # launches the JVM (fresh process), which bench/tests guarantee
         .config("spark.driver.memory", driver_mem)
+        # -Xms == -Xmx: heap growth during the first big job showed up as
+        # multi-second GC stalls in single-shot timings
+        .config("spark.driver.extraJavaOptions", f"-Xms{driver_mem}")
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
