@@ -136,7 +136,9 @@ class RollupPipeline:
                 raise RuntimeError("simulated failure (test hook)")
             t0 = time.perf_counter()
             part = canon.filter(F.col("time_chunk") == chunk)
-            segs = encode_segments(part)
+            # range-partitioned write: segment files ordered by bucket, so
+            # bucket-scoped reads touch a contiguous file subset
+            segs = encode_segments(part).repartitionByRange("conv_bucket")
             seg_table.overwrite_partitions(segs, {"time_chunk": int(chunk)})
             seg_stats = (SnapshotTable.load(seg_table.root).read(self.spark)
                          .filter(F.col("time_chunk") == chunk)

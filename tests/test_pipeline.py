@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from lindorm_tsdb_contest_java_spark.ops.pipeline import RollupPipeline
 from lindorm_tsdb_contest_java_spark.sources.table import SnapshotTable
 
-CHUNK_US = 5 * 86_400 * 1_000_000  # 5-day chunks: ~7 chunks over the fixture, keeps the 4-run test fast
+CHUNK_US = 9 * 86_400 * 1_000_000  # 9-day chunks: ~4-5 chunks over the fixture, keeps the multi-run tests fast
 
 
 def _content_hash(spark, root, name, sort_cols):
