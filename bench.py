@@ -72,7 +72,7 @@ def bench_table(n_turns: int, n_files: int = 32) -> str:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_turns_target = int(os.environ.get("BENCH_TURNS", "1000000"))
+    n_turns_target = int(os.environ.get("BENCH_TURNS", "4000000"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     tpath = bench_table(n_turns_target)
