@@ -275,7 +275,8 @@ def _q_topk_convs_rank(spark, sf_dir):
     w = Window.orderBy(F.col("n_turns").desc(), F.col("conv_id"))
     return (sizes.withColumn("rnk", F.dense_rank().over(w))
             .filter(F.col("rnk") <= 10)
-            .select("conv_id", "n_turns", "total_chars", "rnk"))
+            .select("conv_id", "n_turns", "total_chars",
+                    F.col("rnk").cast("long").alias("rnk")))
 
 
 def _q_cube_role_tool(spark, sf_dir):
@@ -492,18 +493,18 @@ SELECT '{CONV}' AS conv_id, {JAN1_MS} + t.w * {DS_ITV_MS} AS ts_ms, wins.v AS va
         "tier_conv_1h": C + f"""
 SELECT conv_id,
        CAST(FLOOR(ts_us / {HOUR_MS * 1000}) AS BIGINT) * {HOUR_MS} AS bucket_ms,
-       COUNT(*) AS n_turns, SUM(text_len) AS text_len_sum,
+       COUNT(*) AS n_turns, CAST(SUM(text_len) AS BIGINT) AS text_len_sum,
        MIN(text_len) AS text_len_min, MAX(text_len) AS text_len_max,
-       SUM(latency_us) AS latency_us_sum,
+       CAST(SUM(latency_us) AS BIGINT) AS latency_us_sum,
        MIN(latency_s) AS latency_min, MAX(latency_s) AS latency_max
 FROM canonical GROUP BY 1, 2
 """,
         "tier_cascade_1d": C + f"""
 SELECT conv_id,
        CAST(FLOOR(ts_us / {DAY_MS * 1000}) AS BIGINT) * {DAY_MS} AS bucket_ms,
-       COUNT(*) AS n_turns, SUM(text_len) AS text_len_sum,
+       COUNT(*) AS n_turns, CAST(SUM(text_len) AS BIGINT) AS text_len_sum,
        MIN(text_len) AS text_len_min, MAX(text_len) AS text_len_max,
-       SUM(latency_us) AS latency_us_sum
+       CAST(SUM(latency_us) AS BIGINT) AS latency_us_sum
 FROM canonical GROUP BY 1, 2
 """,
         "tier_avg_read": C + f"""
@@ -545,12 +546,12 @@ dedup AS (
   QUALIFY ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts_us DESC) = 1
 )
 SELECT conv_id, COUNT(*) AS n_turns,
-       SUM(CASE WHEN text LIKE '[edited] %' THEN 1 ELSE 0 END) AS n_edited
+       CAST(SUM(CASE WHEN text LIKE '[edited] %' THEN 1 ELSE 0 END) AS BIGINT) AS n_edited
 FROM dedup GROUP BY conv_id
 """,
         "sessionize": C + """
 SELECT conv_id, COUNT(*) AS n_turns,
-       1 + SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions
+       CAST(1 + SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM (
   SELECT conv_id,
          ts_us - LAG(ts_us) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
@@ -565,16 +566,16 @@ FROM canonical GROUP BY 1, 2
 """,
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_cents,
-       SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS sum_disc_bps,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+       CAST(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_bps,
        COUNT(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """,
         "mktsegment_revenue": """
-SELECT c_mktsegment, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+SELECT c_mktsegment, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        COUNT(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
@@ -598,13 +599,13 @@ FROM canonical WHERE ts_us < {JAN1_MS * 1000 + 7 * 86_400_000_000}
 """,
         "topk_convs_rank": C + """
 SELECT conv_id, n_turns, total_chars, rnk FROM (
-  SELECT conv_id, COUNT(*) AS n_turns, SUM(text_len) AS total_chars,
+  SELECT conv_id, COUNT(*) AS n_turns, CAST(SUM(text_len) AS BIGINT) AS total_chars,
          DENSE_RANK() OVER (ORDER BY COUNT(*) DESC, conv_id) AS rnk
   FROM canonical GROUP BY conv_id
 ) WHERE rnk <= 10
 """,
         "cube_role_tool": C + """
-SELECT role, tool, COUNT(*) AS n_turns, SUM(text_len) AS total_chars
+SELECT role, tool, COUNT(*) AS n_turns, CAST(SUM(text_len) AS BIGINT) AS total_chars
 FROM canonical GROUP BY CUBE (role, tool)
 """,
         "dedup_exact": "WITH " + _DOCS_DUPS_SQL + """
