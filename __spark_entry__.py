@@ -286,6 +286,20 @@ def _q_cube_role_tool(spark, sf_dir):
                  F.sum("text_len").alias("total_chars")))
 
 
+def _q_argmax_latency(spark, sf_dir):
+    """Per-conversation peak latency and the turn where it occurred —
+    arg-max as row_number over (latency desc, turn asc): deterministic
+    under ties, identical in both engines."""
+    from pyspark.sql.window import Window
+    canon = events_canonical(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("latency_us").desc(), F.col("turn_idx").asc())
+    return (canon.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
+            .select("conv_id",
+                    F.col("turn_idx").cast("long").alias("peak_turn"),
+                    F.col("latency_us").alias("peak_latency_us")))
+
+
 def _q_dedup_exact(spark, sf_dir):
     return DP.exact_dedup_groups(_docs_with_dups(spark, sf_dir), "doc_id")
 
@@ -385,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_new_convs": _q_except_new_convs,
         "topk_convs_rank": _q_topk_convs_rank,
         "cube_role_tool": _q_cube_role_tool,
+        "argmax_latency": _q_argmax_latency,
         # training-data pipeline ops
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -607,6 +622,13 @@ SELECT conv_id, n_turns, total_chars, rnk FROM (
         "cube_role_tool": C + """
 SELECT role, tool, COUNT(*) AS n_turns, CAST(SUM(text_len) AS BIGINT) AS total_chars
 FROM canonical GROUP BY CUBE (role, tool)
+""",
+        "argmax_latency": C + """
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS peak_turn,
+       latency_us AS peak_latency_us
+FROM canonical
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY conv_id ORDER BY latency_us DESC, turn_idx ASC) = 1
 """,
         "dedup_exact": "WITH " + _DOCS_DUPS_SQL + """
 SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
