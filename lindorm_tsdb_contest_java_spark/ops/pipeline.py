@@ -139,9 +139,13 @@ class RollupPipeline:
             # range-partitioned write: segment files ordered by bucket, so
             # bucket-scoped reads touch a contiguous file subset
             segs = encode_segments(part).repartitionByRange("conv_bucket")
-            seg_table.overwrite_partitions(segs, {"time_chunk": int(chunk)})
-            seg_stats = (SnapshotTable.load(seg_table.root).read(self.spark)
-                         .filter(F.col("time_chunk") == chunk)
+            snap = seg_table.overwrite_partitions(segs, {"time_chunk": int(chunk)})
+            # stats from exactly the files this commit wrote — not a
+            # whole-table rescan (which would be O(chunks^2) at scale)
+            chunk_files = [os.path.join(seg_table.data_dir, f["path"])
+                           for f in snap.files
+                           if f["partition"].get("time_chunk") == int(chunk)]
+            seg_stats = (self.spark.read.parquet(*chunk_files)
                          .agg(F.sum("n_rows"), F.sum("encoded_bytes")).collect()[0])
             n_rows, enc_bytes = int(seg_stats[0] or 0), int(seg_stats[1] or 0)
             t1m_conv.overwrite_partitions(build_conv_tier(part), {"time_chunk": int(chunk)})
