@@ -113,7 +113,7 @@ def downsample(df: DataFrame, conv_id: str, column: str, lb_ms: int, ub_ms: int,
     portable; the reference-exact default keeps the bit patterns.
     """
     if (ub_ms - lb_ms) % interval_ms != 0:
-        raise ValueError("(ub - lb) %% interval != 0 (TSDBEngine.java:209-215)")
+        raise ValueError("(ub - lb) % interval != 0 (TSDBEngine.java:209-215)")
     n_windows = (ub_ms - lb_ms) // interval_ms
     spark = df.sparkSession
 
