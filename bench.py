@@ -121,6 +121,9 @@ def main():
         segs.write.mode("overwrite").parquet(seg_path)
     segments = spark.read.parquet(seg_path)
     enc_bytes = segments.agg(F.sum("encoded_bytes")).collect()[0][0]
+    raw_bytes = raw.agg(F.sum(
+        F.octet_length("text") + F.octet_length("conv_id") + F.octet_length("role")
+        + F.octet_length("tool") + F.lit(8 + 4))).collect()[0][0]
 
     canon = canonicalize(raw).cache()
     canon.count()  # materialize outside the tier timing
@@ -169,6 +172,8 @@ def main():
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / timings["rollup_encode"], 1),
         "bytes_per_turn": round(enc_bytes / n_turns, 2),
+        "raw_bytes_per_turn": round(raw_bytes / n_turns, 2),
+        "compression_ratio": round(raw_bytes / enc_bytes, 2),
     }))
     spark.stop()
 
