@@ -109,36 +109,44 @@ def canonicalize(
     semantics (TSDBEngine.java:85-92): for equal (conv_id, turn_idx) the
     newest ts wins. Routing/zone columns are plain expressions so the
     whole stage stays in WholeStageCodegen.
+
+    ONE exchange serves the whole ingest path: the explicit repartition on
+    conv_bucket. Both window operators partition by supersets of
+    {conv_bucket} — and conv_bucket is a pure function of conv_id, so
+    partitionBy(conv_bucket, conv_id, ...) rows land exactly as
+    partitionBy(conv_id, ...) would — and hashpartitioning(conv_bucket)
+    satisfies their ClusteredDistribution (subset rule), so Catalyst
+    inserts only in-partition sorts. The downstream
+    groupBy(conv_bucket, time_chunk) in encode_segments reuses the same
+    partitioning: the full transcripts → segments plan has a single
+    shuffle (pinned by tests/test_plan_audit.py).
     """
     from pyspark.sql.window import Window
 
     # unix_micros over an NTZ cast is session-timezone-sensitive: pin UTC
     df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
 
-    # one explicit shuffle on conv_id serves BOTH window operators below:
-    # hashpartitioning(conv_id) satisfies the (conv_id, turn_idx) dedup
-    # window's clustering too (subset rule), so Catalyst inserts sorts but
-    # no further exchanges — cuts the ingest path from 2 shuffles to 1
-    out = df.repartition(F.col("conv_id"))
-    if dedup:
-        w = Window.partitionBy("conv_id", "turn_idx").orderBy(
-            F.col("ts").desc(), F.length("text").desc())
-        out = (out.withColumn("_rn", F.row_number().over(w))
-                  .filter(F.col("_rn") == 1).drop("_rn"))
     out = (
-        out.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+        df.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
         .withColumn("text_len", F.length("text"))
-        .withColumn(
-            "latency_s",
-            F.coalesce(
-                (F.col("ts_us") - F.lag("ts_us").over(
-                    Window.partitionBy("conv_id").orderBy("turn_idx"))) / F.lit(1e6),
-                F.lit(0.0),
-            ),
-        )
         .withColumn("conv_bucket",
                     F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"))
         .withColumn("time_chunk", F.floor(F.col("ts_us") / F.lit(chunk_us)))
+        .repartition(F.col("conv_bucket"))
+    )
+    if dedup:
+        w = Window.partitionBy("conv_bucket", "conv_id", "turn_idx").orderBy(
+            F.col("ts").desc(), F.length("text").desc())
+        out = (out.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn"))
+    out = out.withColumn(
+        "latency_s",
+        F.coalesce(
+            (F.col("ts_us") - F.lag("ts_us").over(
+                Window.partitionBy("conv_bucket", "conv_id").orderBy("turn_idx")))
+            / F.lit(1e6),
+            F.lit(0.0),
+        ),
     )
     return out.select(*CANONICAL_COLUMNS)
 

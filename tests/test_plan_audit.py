@@ -41,6 +41,16 @@ def test_decode_projection_prunes_blobs(spark, seg_path):
     assert f.scan_reads_column("blob_conv_id")
 
 
+def test_encode_path_single_shuffle(transcripts_df):
+    """The whole transcripts → segments plan (dedup window + lag window +
+    groupBy encode) must run off ONE exchange: hashpartitioning(conv_bucket)
+    satisfies every downstream clustering (windows partition by supersets
+    of {conv_bucket}; the groupBy keys include it)."""
+    segs = encode_segments(canonicalize(transcripts_df, n_buckets=8))
+    f = facts(segs)
+    assert f.n_shuffles == 1, f.plan
+
+
 def test_downsample_no_global_sort_join(transcripts_df):
     canon = canonicalize(transcripts_df, n_buckets=8)
     ds = Q.downsample(canon, "conv-00000001", "text_len", 0, 10**12, 10**9,
