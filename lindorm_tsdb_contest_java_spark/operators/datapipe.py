@@ -2,18 +2,24 @@
 
 These have no reference counterpart (the reference is a pure TSDB); they
 are the large-scale-pipeline operations the target spec adds as
-first-class components. Everything stays JVM-side (built-in higher-order
-functions) except simhash, which uses a vectorized pandas UDF.
+first-class components. Everything is JVM-side built-in expressions —
+zero per-row Python anywhere in this module.
+
+All content hashing is md5-derived (`_h48`: the first 48 bits of the hex
+digest as a bigint) so every operator here is reproducible in ANSI
+SQL/DuckDB and the driver can value-check it against an oracle.
 
 Scale notes (the part that matters at 100 TB):
 - exact dedup / fingerprinting: one hash-groupBy, map-side partial agg;
 - MinHash+LSH: signatures are computed per-row with array expressions
   (no shuffle), candidates come from ONE groupBy on band keys — the
-  classic O(n) LSH plan; only candidate pairs (a tiny set) are verified;
+  classic O(n) LSH plan; candidate dedup shuffles (id_a, id_b) ONLY
+  (shingle arrays are re-joined for the surviving pairs afterwards);
 - n-gram Jaccard: shingle-explode + self-join on shingle is quadratic in
   rows-per-identical-shingle only; frequent-shingle skew is the hot-key
-  risk → drop top-frequency shingles (stopword-shingle filter) before
-  joining, AQE skew-join handles the remainder;
+  killer → the max_df document-frequency filter drops stop-shingles
+  before the join (jaccard is then over the surviving shingle sets, the
+  oracle applies the same filter), AQE skew-join handles the remainder;
 - brute-force ANN is the correctness baseline (broadcast the query
   vector, one pass, top-k via orderBy+limit which Spark executes as
   TakeOrdered, no full sort); the LSH-bucketed variant is the scale path:
@@ -23,12 +29,23 @@ Scale notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql import Column, DataFrame, functions as F
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def _h48(col: Column) -> Column:
+    """Portable 48-bit hash: first 12 hex chars of md5 as a bigint.
+    DuckDB twin: CAST('0x' || substr(md5(x), 1, 12) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def _h48_py(s: str) -> int:
+    """Driver-side twin of _h48 (same md5, same 48-bit truncation)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
 
 
 # ---------- text primitives ----------
@@ -41,7 +58,11 @@ def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def with_shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """Word n-gram shingles via sequence+transform (JVM-side, no UDF)."""
+    """Word n-gram shingles via sequence+transform (JVM-side, no UDF).
+
+    Empty docs get an EMPTY shingle set (not ['']), so they can never
+    join each other as jaccard-1.0 pairs — the SQL oracle's unnest of an
+    empty list emits no rows, and Spark now agrees by construction."""
     tokens = F.col("tokens")
     idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(-1)))
     shingle = lambda i: F.concat_ws(  # noqa: E731
@@ -50,7 +71,8 @@ def with_shingles(df: DataFrame, n: int = 3) -> DataFrame:
         "shingles",
         F.when(F.size(tokens) >= n,
                F.array_distinct(F.transform(idx, shingle)))
-         .otherwise(F.array(F.concat_ws(" ", tokens))),
+         .when(F.size(tokens) > 0, F.array(F.concat_ws(" ", tokens)))
+         .otherwise(F.array().cast("array<string>")),
     )
 
 
@@ -67,53 +89,112 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> Da
     )
 
 
+MINHASH_M = 1 << 48  # modulus of the affine rehash family
+
+
+def minhash_ab(k: int) -> tuple[int, int]:
+    """Deterministic (a, b) for permutation k of the affine family
+    h -> (a*h + b) mod 2^48, with odd a < 2^15 so a*h never overflows
+    int64 — identical constants in Spark and the SQL oracle."""
+    return (_h48_py(f"mh-a:{k}") % (1 << 15)) | 1, _h48_py(f"mh-b:{k}")
+
+
+def _affine(a: int, b: int):
+    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_M)
+
+
 def minhash_signatures(df: DataFrame, n_hashes: int = 16) -> DataFrame:
-    """Per-row MinHash signature: min over shingles of seeded xxhash64.
-    Pure array expressions — zero shuffles, embarrassingly parallel."""
+    """Per-row MinHash signature. ONE md5-derived 48-bit hash per shingle
+    (materialized once as an int array), then n_hashes cheap affine
+    permutations over it — the universal-hashing construction, so the
+    md5 cost doesn't multiply by n_hashes. Pure array expressions —
+    zero shuffles, embarrassingly parallel, SQL-portable."""
+    out = df.withColumn("_hs", F.transform(F.col("shingles"), _h48))
     sigs = [
-        F.array_min(F.transform(
-            F.col("shingles"), lambda s, k=k: F.xxhash64(s, F.lit(k))))
+        F.array_min(F.transform(F.col("_hs"), _affine(*minhash_ab(k))))
         for k in range(n_hashes)
     ]
-    return df.withColumn("minhash", F.array(*sigs))
+    return out.withColumn("minhash", F.array(*sigs)).drop("_hs")
+
+
+def minhash_oracle_list_sql(hs_col: str = "hs", n_hashes: int = 16) -> str:
+    """DuckDB list literal equal to the minhash column over a precomputed
+    token-hash list column."""
+    terms = ", ".join(
+        "list_min(list_transform({hs}, h -> ({a} * h + {b}) % {m}))".format(
+            hs=hs_col, a=a, b=b, m=MINHASH_M)
+        for a, b in (minhash_ab(k) for k in range(n_hashes)))
+    return f"[{terms}]"
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str, n_hashes: int = 16,
                         band_size: int = 4) -> DataFrame:
     """Band the signatures, groupBy band key, emit same-bucket pairs.
     One shuffle on band keys; the join explosion is bounded by bucket
-    population (near-dups only), not n^2."""
+    population (near-dups only), not n^2.
+
+    The candidate-dedup `.distinct()` shuffles ONLY (id_a, id_b); the
+    shingle sets are re-joined afterwards for just the surviving pairs —
+    at 10^9 docs the dedup exchange moves 16 bytes/candidate, not two
+    full shingle arrays."""
     n_bands = n_hashes // band_size
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(*[F.element_at("minhash", b * band_size + i + 1)
-                         for i in range(band_size)]).alias("key"),
+            F.md5(F.concat_ws("|", *[
+                F.element_at("minhash", b * band_size + i + 1).cast("string")
+                for i in range(band_size)])).alias("key"),
         ) for b in range(n_bands)
     ])
-    exploded = (df.select(F.col(id_col), "shingles", F.explode(bands).alias("bk"))
-                .select(id_col, "shingles", "bk.band", "bk.key"))
+    exploded = (df.filter(F.size("shingles") > 0)
+                .select(F.col(id_col), F.explode(bands).alias("bk"))
+                .select(id_col, "bk.band", "bk.key"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
         a.join(b, on=["band", "key"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a.shingles").alias("sh_a"), F.col("b.shingles").alias("sh_b"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+    )
+    sh = df.select(F.col(id_col), "shingles")
+    verified = (
+        pairs
+        .join(sh.select(F.col(id_col).alias("id_a"),
+                        F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"),
+                        F.col("shingles").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (pairs.withColumn("jaccard", inter / union)
+    return (verified.withColumn("jaccard", inter / union)
             .select("id_a", "id_b", "jaccard"))
 
 
-def ngram_jaccard_pairs(df: DataFrame, id_col: str, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, threshold: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard via shingle-explode self-join (the oracle-able
     exact counterpart to LSH). Distinct shingles per doc, so the shared
-    count is |A ∩ B|."""
+    count is |A ∩ B|.
+
+    max_df is the hot-key valve: shingles appearing in more than max_df
+    documents (stop-shingles) are dropped BEFORE the self-join — one
+    shingle shared by 10^6 docs would otherwise explode into 10^12 join
+    rows. Jaccard is then computed over the surviving shingle sets
+    (per-doc sizes recomputed after the filter), so the semantic is
+    'jaccard over non-stop shingles' — the SQL oracle applies the same
+    filter. The document-frequency count and the self-join share the
+    same (shingle) hash partitioning, so the filter adds no extra
+    shuffle of the exploded table."""
     sized = df.select(id_col, "shingles").withColumn("n_sh", F.size("shingles"))
     ex = sized.select(id_col, "n_sh", F.explode("shingles").alias("shingle"))
+    if max_df is not None:
+        keep = (ex.groupBy("shingle").agg(F.count("*").alias("_df"))
+                .filter(F.col("_df") <= max_df).select("shingle"))
+        kept = ex.join(keep, "shingle").select(id_col, "shingle")
+        n_sh = kept.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        ex = kept.join(n_sh, id_col).select(id_col, "n_sh", "shingle")
     a, b = ex.alias("a"), ex.alias("b")
     return (
         a.join(b, on="shingle")
@@ -127,24 +208,47 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, threshold: float = 0.5) -> D
     )
 
 
-@F.pandas_udf(LongType())  # DataType object: usable before a session exists
-def _simhash64(texts: pd.Series) -> pd.Series:
-    """Vectorized 64-bit SimHash: md5-derived token hashes, per-bit
-    majority vote (numpy bincount over bit planes, no per-row loop)."""
-    import hashlib
+SIMHASH_BITS = 48  # bits of the md5-derived token hash (SQL-portable range)
 
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, text in enumerate(texts):  # per-document; token math vectorized
-        toks = [t for t in str(text).lower().split(" ") if t]
-        if not toks:
-            continue
-        hs = np.array(
-            [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") for t in toks],
-            dtype=np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-        vote = (bits.sum(axis=0) * 2 >= len(toks)).astype(np.uint64)
-        out[i] = (vote << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64).astype(np.int64)
-    return pd.Series(out)
+
+def simhash_expr(text_col: Column) -> Column:
+    """48-bit SimHash as pure JVM expressions — no Python anywhere.
+
+    Token hashes are materialized ONCE per row (one md5 per token via a
+    single array transform); each of the 48 bit-votes is then a
+    size(filter(...)) scan over that int64 array. Majority rule:
+    bit b set iff 2 * count(tokens with bit b) >= n_tokens. Empty docs
+    hash to 0. DuckDB twin generated by simhash_oracle_terms()."""
+    toks = F.filter(F.split(F.lower(text_col), " "), lambda t: t != F.lit(""))
+    hs = F.transform(toks, _h48)
+    n = F.size(hs)
+    def _bit_term(b: int) -> Column:
+        mask = F.lit(1 << b)
+        votes = F.size(F.filter(hs, lambda h: h.bitwiseAND(mask) != 0))
+        return F.when(votes * 2 >= n, F.lit(1 << b)).otherwise(F.lit(0))
+
+    bit_terms = [_bit_term(b) for b in range(SIMHASH_BITS)]
+    bitsum = bit_terms[0]
+    for t in bit_terms[1:]:
+        bitsum = bitsum + t
+    return F.when(n > 0, bitsum).otherwise(F.lit(0)).cast("long")
+
+
+def simhash_oracle_terms(hs_col: str = "hs") -> str:
+    """The DuckDB expression equal to simhash_expr over a precomputed
+    token-hash list column (see SIMHASH_HS_SQL for that column)."""
+    n = f"len({hs_col})"
+    terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter({hs_col}, h -> (h & {1 << b}) <> 0)) >= {n} "
+        f"THEN {1 << b} ELSE 0 END"
+        for b in range(SIMHASH_BITS))
+    return f"CASE WHEN {n} > 0 THEN {terms} ELSE 0 END"
+
+
+# DuckDB expression for the md5-derived token-hash list (the _h48 twin)
+SIMHASH_HS_SQL = (
+    "list_transform(list_filter(string_split(lower(text), ' '), t -> t <> ''), "
+    "t -> CAST('0x' || substr(md5(t), 1, 12) AS BIGINT))")
 
 
 def simhash_dedup(df: DataFrame, id_col: str, text_col: str = "text",
@@ -152,7 +256,7 @@ def simhash_dedup(df: DataFrame, id_col: str, text_col: str = "text",
     """SimHash near-dup candidates: identical-simhash groups (hamming 0)
     plus banded buckets for <= max_hamming would follow the LSH pattern;
     here we surface the simhash per doc and the hamming-0 groups."""
-    sh = df.select(F.col(id_col), _simhash64(F.col(text_col)).alias("simhash"))
+    sh = df.select(F.col(id_col), simhash_expr(F.col(text_col)).alias("simhash"))
     groups = (sh.groupBy("simhash").agg(F.count("*").alias("n_docs"),
                                         F.min(id_col).alias("keep_id")))
     return groups.filter(F.col("n_docs") > 1)
@@ -183,15 +287,21 @@ def cosine_topk(df: DataFrame, qvec: list[float], id_col: str = "vec_id",
     )
 
 
+def lsh_plane(p: int, dim: int) -> list[float]:
+    """Deterministic hyperplane p: component d = h48(p,d) / 2^47 - 1, an
+    exact dyadic rational in [-1, 1) — identical in any engine that has
+    md5 (DuckDB twin in __spark_entry__'s ann_lsh_topk oracle)."""
+    return [_h48_py(f"{p},{d}") / 2.0**47 - 1.0 for d in range(dim)]
+
+
 def ann_lsh_topk(df: DataFrame, qvec: list[float], id_col: str = "vec_id",
-                 vec_col: str = "embedding", k: int = 10, n_planes: int = 8,
-                 seed: int = 42) -> DataFrame:
+                 vec_col: str = "embedding", k: int = 10,
+                 n_planes: int = 8) -> DataFrame:
     """Random-hyperplane LSH ANN: sign-bit bucket per row, search only the
     query's bucket (scale path; recall < 1 by construction). Planes are a
-    deterministic function of (seed, dim)."""
+    deterministic md5-derived function of (plane, dim) — SQL-portable."""
     dim = len(qvec)
-    rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_planes, dim))
+    planes = [lsh_plane(p, dim) for p in range(n_planes)]
 
     def bucket_expr(vcol):
         bits = []
@@ -206,7 +316,7 @@ def ann_lsh_topk(df: DataFrame, qvec: list[float], id_col: str = "vec_id",
                       if float(np.dot(plane, qvec)) >= 0))
     vcol = F.col(vec_col).cast("array<double>")
     return (
-        df.withColumn("bucket", bucket_expr(vcol))
+        df.withColumn("bucket", bucket_expr(vcol).cast("long"))
         .filter(F.col("bucket") == qbucket)  # partition-prunable at scale
         .withColumn("cosine", _cosine(vcol, qvec))
         .select(id_col, "bucket", "cosine")

@@ -31,7 +31,7 @@ from ..operators.tiers import (
     HOUR_MS, MINUTE_MS, DAY_MS,
     build_conv_tier, build_rate_tier, rollup_conv_tier, rollup_rate_tier,
 )
-from ..sources.segments import canonicalize, encode_segments
+from ..sources.segments import DEFAULT_CHUNK_US, canonicalize, encode_segments
 from ..sources.table import SnapshotTable
 
 
@@ -83,12 +83,21 @@ class LineageLog:
 
 @dataclass
 class RollupPipeline:
-    """transcripts → segments + conv/rate tier cascade, chunk by chunk."""
+    """transcripts → segments + conv/rate tier cascade.
+
+    All not-yet-done chunks are processed in ONE distributed partitioned
+    write per table (no per-chunk driver loop of Spark jobs — at 10^12
+    turns a year of 6h chunks is 1,460 partitions of one job, not 1,460
+    sequential jobs re-filtering the input). Commit/resume granularity is
+    `commit_batch_chunks`: each batch is one job + one atomic snapshot
+    commit, and the per-chunk fingerprints checkpointed with it let a
+    resume skip exactly the committed chunks."""
 
     spark: SparkSession
     root: str
     n_buckets: int = 16
     chunk_us: int | None = None  # time-chunk width; None = segments default (6h)
+    commit_batch_chunks: int | None = None  # chunks per commit; None = all in one
     fail_after_chunks: int | None = None  # test hook: simulate mid-run crash
     tiers: dict = field(default_factory=lambda: {"1h": HOUR_MS, "1d": DAY_MS})
 
@@ -127,47 +136,77 @@ class RollupPipeline:
         metrics = {"chunks_total": len(chunks),
                    "chunks_done": len(chunks) - len(todo),
                    "chunks_run": 0, "rows": 0, "encoded_bytes": 0}
-        seg_table = self.table("segments")
-        t1m_conv = self.table("tier_conv_1m")
-        r1m = self.table("tier_rate_1m")
 
-        for i, chunk in enumerate(todo):
-            if self.fail_after_chunks is not None and i >= self.fail_after_chunks:
+        batch_size = self.commit_batch_chunks or len(todo) or 1
+        batches = [todo[i:i + batch_size] for i in range(0, len(todo), batch_size)]
+        for batch in batches:
+            if self.fail_after_chunks is not None \
+                    and metrics["chunks_run"] >= self.fail_after_chunks:
                 raise RuntimeError("simulated failure (test hook)")
-            t0 = time.perf_counter()
-            part = canon.filter(F.col("time_chunk") == chunk)
-            # range-partitioned write: segment files ordered by bucket, so
-            # bucket-scoped reads touch a contiguous file subset
-            segs = encode_segments(part).repartitionByRange("conv_bucket")
-            snap = seg_table.overwrite_partitions(segs, {"time_chunk": int(chunk)})
-            # stats from exactly the files this commit wrote — not a
-            # whole-table rescan (which would be O(chunks^2) at scale)
-            chunk_files = [os.path.join(seg_table.data_dir, f["path"])
-                           for f in snap.files
-                           if f["partition"].get("time_chunk") == int(chunk)]
-            seg_stats = (self.spark.read.parquet(*chunk_files)
-                         .agg(F.sum("n_rows"), F.sum("encoded_bytes")).collect()[0])
-            n_rows, enc_bytes = int(seg_stats[0] or 0), int(seg_stats[1] or 0)
-            t1m_conv.overwrite_partitions(build_conv_tier(part), {"time_chunk": int(chunk)})
-            r1m.overwrite_partitions(build_rate_tier(part), {"time_chunk": int(chunk)})
-            wall = time.perf_counter() - t0
-            self.lineage.record(
-                job="rollup", phase="chunk", time_chunk=int(chunk),
-                input_snapshot=input_snapshot,
-                input_files=",".join(sorted({f["path"] for f in seg_table.current().files
-                                             if f["partition"].get("time_chunk") == int(chunk)})),
-                row_count=n_rows, encoded_bytes=enc_bytes, wall_s=wall,
-            )
-            self.checkpoint.mark_done("rollup", input_snapshot, int(chunk),
-                                      fingerprints[chunk])
-            metrics["chunks_run"] += 1
-            metrics["rows"] += n_rows
-            metrics["encoded_bytes"] += enc_bytes
+            self._run_batch(canon, batch, fingerprints, input_snapshot, metrics)
 
         # cascade the coarse tiers from the completed base tier (cheap, full rebuild)
-        conv_1m = t1m_conv.read(self.spark)
-        rate_1m = r1m.read(self.spark)
+        conv_1m = self.table("tier_conv_1m").read(self.spark)
+        rate_1m = self.table("tier_rate_1m").read(self.spark)
         for name, width in self.tiers.items():
             self.table(f"tier_conv_{name}").overwrite(rollup_conv_tier(conv_1m, width))
             self.table(f"tier_rate_{name}").overwrite(rollup_rate_tier(rate_1m, width))
         return metrics
+
+    def _run_batch(self, canon: DataFrame, batch: list[int], fingerprints: dict,
+                   input_snapshot: int, metrics: dict) -> None:
+        """One distributed job + one atomic commit per table for a whole
+        batch of chunks. Per-chunk lineage and checkpoint fingerprints are
+        derived from the commit's own file manifest — no per-chunk jobs."""
+        t0 = time.perf_counter()
+        seg_table = self.table("segments")
+        part = canon.filter(F.col("time_chunk").isin([int(c) for c in batch]))
+        snap = seg_table.overwrite_partitions_multi(
+            encode_segments(part), "time_chunk", [int(c) for c in batch])
+        new_files = {}  # chunk -> [file names] written by THIS commit
+        for f in snap.files:
+            c = f["partition"].get("time_chunk")
+            if c in set(int(b) for b in batch) and f["path"].startswith(
+                    f"snap{snap.snapshot_id}-"):
+                new_files.setdefault(int(c), []).append(f["path"])
+        # stats from exactly the files this commit wrote — not a
+        # whole-table rescan (which would be O(chunks^2) at scale)
+        paths = [os.path.join(seg_table.data_dir, p)
+                 for fs in new_files.values() for p in fs]
+        stats = {int(r["time_chunk"]): (int(r["rows"]), int(r["bytes"]))
+                 for r in self.spark.read.parquet(*paths)
+                 .groupBy("time_chunk")
+                 .agg(F.sum("n_rows").alias("rows"),
+                      F.sum("encoded_bytes").alias("bytes")).collect()}
+
+        # 1m tiers for the same batch, partitioned by the owning chunk
+        # (tier buckets never straddle chunks: chunk_us is a multiple of 60s)
+        chunk_us = self.chunk_us or DEFAULT_CHUNK_US
+        chunk_of = (F.floor(F.col("bucket_ms") * 1000 / F.lit(chunk_us))
+                    .cast("long").alias("time_chunk"))
+        self.table("tier_conv_1m").overwrite_partitions_multi(
+            build_conv_tier(part).withColumn("time_chunk", chunk_of),
+            "time_chunk", [int(c) for c in batch])
+        self.table("tier_rate_1m").overwrite_partitions_multi(
+            build_rate_tier(part).withColumn("time_chunk", chunk_of),
+            "time_chunk", [int(c) for c in batch])
+
+        wall = time.perf_counter() - t0
+        total_rows = sum(r for r, _ in stats.values()) or 1
+        for chunk in sorted(new_files):
+            n_rows, _ = stats.get(chunk, (0, 0))
+            enc = stats.get(chunk, (0, 0))[1]
+            self.lineage.record(
+                job="rollup", phase="chunk", time_chunk=chunk,
+                input_snapshot=input_snapshot,
+                input_files=",".join(sorted(new_files[chunk])),
+                row_count=n_rows, encoded_bytes=enc,
+                # the batch runs as one job: wall time apportioned by rows
+                wall_s=wall * n_rows / total_rows,
+            )
+        for chunk in batch:
+            self.checkpoint.mark_done("rollup", input_snapshot, int(chunk),
+                                      fingerprints[int(chunk)])
+            metrics["chunks_run"] += 1
+        metrics["rows"] += sum(r for r, _ in stats.values())
+        metrics["encoded_bytes"] += sum(b for _, b in stats.values())

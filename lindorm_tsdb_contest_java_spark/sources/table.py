@@ -21,6 +21,11 @@ Swapping this for real Iceberg is a one-module change: `read` becomes
 File-name uuids come from the content hash + a monotonically increasing
 snapshot id — no wall-clock or random state, so repeated runs of the same
 job produce byte-identical table trees (the determinism pytest relies on).
+
+Concurrency: single-writer per commit, enforced — `_commit` takes an
+O_EXCL lock file and rejects a commit whose base snapshot is no longer
+CURRENT (optimistic concurrency, the miniature of Iceberg's commit
+protocol). A losing writer gets a RuntimeError, never a silent clobber.
 """
 
 from __future__ import annotations
@@ -130,6 +135,26 @@ class SnapshotTable:
                      kept + files, {**(meta or {}), "partition": partition})
         )
 
+    def overwrite_partitions_multi(
+        self, df: DataFrame, partition_col: str, values: list,
+        meta: dict | None = None,
+    ) -> Snapshot:
+        """Replace every listed partition value in ONE commit, fed by ONE
+        distributed write (`partitionBy` on the partition column) — the
+        N-chunk analog of overwrite_partitions, so a backfill over many
+        time chunks is a single Spark job, not a driver loop of jobs."""
+        files = self._materialize_spark_partitioned(df, partition_col)
+        cur = self.current()
+        gone = set(values)
+        kept = [f for f in cur.files
+                if f.get("partition", {}).get(partition_col) not in gone]
+        return self._commit(
+            Snapshot(cur.snapshot_id + 1, cur.snapshot_id, "overwrite_partitions",
+                     kept + files,
+                     {**(meta or {}), "partition_col": partition_col,
+                      "partition_values": sorted(gone)})
+        )
+
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)
 
@@ -193,21 +218,82 @@ class SnapshotTable:
         shutil.rmtree(staging, ignore_errors=True)
         return files
 
+    def _materialize_spark_partitioned(
+        self, df: DataFrame, partition_col: str) -> list[dict]:
+        """Distributed partitioned write: executors write part files under
+        one `_pt=<value>` dir per partition value. The partition column is
+        duplicated into `_pt` so the data files keep the original column
+        (direct-path reads see the same schema as unpartitioned writes)."""
+        cur_id = self.current().snapshot_id
+        staging = os.path.join(self.root, f"_staging-snap{cur_id + 1}")
+        shutil.rmtree(staging, ignore_errors=True)
+        (df.withColumn("_pt", df[partition_col])
+           .write.mode("overwrite").option("compression", "zstd")
+           .partitionBy("_pt").parquet(staging))
+        files = []
+        i = 0
+        for d in sorted(os.listdir(staging)):
+            if not d.startswith("_pt="):
+                continue
+            raw = d[len("_pt="):]
+            try:
+                value: Any = int(raw)
+            except ValueError:
+                value = raw
+            for name in sorted(os.listdir(os.path.join(staging, d))):
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(staging, d, name)
+                rows = pq.read_metadata(src).num_rows
+                if rows == 0:
+                    continue
+                fname = f"snap{cur_id + 1}-{i:05d}.parquet"
+                i += 1
+                os.replace(src, os.path.join(self.data_dir, fname))
+                files.append({
+                    "path": fname, "rows": rows,
+                    "bytes": os.path.getsize(os.path.join(self.data_dir, fname)),
+                    "partition": {partition_col: value},
+                })
+        shutil.rmtree(staging, ignore_errors=True)
+        return files
+
     def _current_path(self) -> str:
         return os.path.join(self.manifest_dir, "CURRENT")
 
     def _commit(self, snap: Snapshot) -> Snapshot:
-        name = f"snap-{snap.snapshot_id:08d}.json"
-        path = os.path.join(self.manifest_dir, name)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {"snapshot_id": snap.snapshot_id, "parent_id": snap.parent_id,
-                 "operation": snap.operation, "files": snap.files, "meta": snap.meta},
-                f, sort_keys=True)
-        os.replace(tmp, path)
-        ptr_tmp = self._current_path() + ".tmp"
-        with open(ptr_tmp, "w") as f:
-            f.write(name)
-        os.replace(ptr_tmp, self._current_path())  # the atomic commit point
+        """Optimistic-concurrency commit (the Iceberg commit protocol in
+        miniature): an O_EXCL lock file serializes the commit window, and
+        the parent check rejects a commit whose base snapshot is no longer
+        CURRENT — a second writer fails loudly instead of silently
+        clobbering the first writer's snapshot."""
+        lock = os.path.join(self.manifest_dir, "LOCK")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise RuntimeError(
+                f"concurrent commit in progress on {self.root} (LOCK held); "
+                "this table format is single-writer per commit") from None
+        try:
+            if snap.parent_id is not None and os.path.exists(self._current_path()) \
+                    and self.current().snapshot_id != snap.parent_id:
+                raise RuntimeError(
+                    f"commit conflict on {self.root}: base snapshot "
+                    f"{snap.parent_id} is no longer CURRENT")
+            name = f"snap-{snap.snapshot_id:08d}.json"
+            path = os.path.join(self.manifest_dir, name)
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"snapshot_id": snap.snapshot_id, "parent_id": snap.parent_id,
+                     "operation": snap.operation, "files": snap.files, "meta": snap.meta},
+                    f, sort_keys=True)
+            os.replace(tmp, path)
+            ptr_tmp = self._current_path() + ".tmp"
+            with open(ptr_tmp, "w") as f:
+                f.write(name)
+            os.replace(ptr_tmp, self._current_path())  # the atomic commit point
+        finally:
+            os.close(fd)
+            os.unlink(lock)
         return snap

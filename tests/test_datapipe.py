@@ -86,6 +86,31 @@ def test_ann_lsh_subset_of_bruteforce_space(spark):
     assert ann["cosine"].max() >= brute["cosine"].iloc[:50].min()
 
 
+def test_ngram_jaccard_max_df_drops_hot_shingle(spark):
+    """A stop-shingle shared by every doc must not create join pairs once
+    max_df filters it; jaccard is then over surviving shingles only."""
+    rows = [(i, f"COMMON unique{i} other{i}") for i in range(50)]
+    rows += [(100, "COMMON twin alpha"), (101, "COMMON twin alpha")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sh = DP.with_shingles(DP.with_tokens(df), n=1)
+    # without the filter: 'COMMON' joins all 52 docs pairwise (>1300 pairs)
+    pairs = DP.ngram_jaccard_pairs(sh, "doc_id", threshold=0.9, max_df=10).toPandas()
+    assert set(map(tuple, pairs[["id_a", "id_b"]].to_numpy())) == {(100, 101)}
+    # the twins' jaccard is over surviving shingles: {twin, alpha} vs same
+    assert pairs["jaccard"].iloc[0] == 1.0
+
+
+def test_empty_docs_no_shingles_no_pairs(spark):
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["", " ", "real words here"]}))
+    sh = DP.with_shingles(DP.with_tokens(df), n=3).toPandas().set_index("doc_id")
+    assert list(sh.loc[1, "shingles"]) == []
+    assert list(sh.loc[2, "shingles"]) == []
+    sh_df = DP.with_shingles(DP.with_tokens(df), n=3)
+    assert DP.ngram_jaccard_pairs(sh_df, "doc_id", threshold=0.0).count() == 0
+    assert DP.lsh_candidate_pairs(DP.minhash_signatures(sh_df), "doc_id").count() == 0
+
+
 def test_text_quality_known_values(spark):
     df = spark.createDataFrame(pd.DataFrame({
         "doc_id": [1, 2], "text": ["the cat, and the dog!", ""]}))

@@ -56,9 +56,11 @@ def test_run_rerun_resume(spark, transcripts_df, tmp_path):
     assert m2["chunks_run"] == 0
     assert _hashes(spark, clean_root) == baseline
 
-    # --- crash mid-run, then resume: converges to the same content
+    # --- crash mid-run (2-chunk commit batches), then resume: converges
+    # to the same content a clean single-batch run produces
     crash_root = str(tmp_path / "crash")
-    crashing = RollupPipeline(spark, crash_root, n_buckets=8, chunk_us=CHUNK_US, fail_after_chunks=2)
+    crashing = RollupPipeline(spark, crash_root, n_buckets=8, chunk_us=CHUNK_US,
+                              commit_batch_chunks=2, fail_after_chunks=2)
     with pytest.raises(RuntimeError, match="simulated failure"):
         crashing.run(transcripts_df, input_snapshot=1)
     resumed = RollupPipeline(spark, crash_root, n_buckets=8, chunk_us=CHUNK_US)
@@ -82,6 +84,39 @@ def test_run_rerun_resume(spark, transcripts_df, tmp_path):
     m4 = RollupPipeline(spark, crash_root, n_buckets=8, chunk_us=CHUNK_US).run(transcripts_df, input_snapshot=2)
     assert m4["chunks_run"] == m4["chunks_total"]
     assert _hashes(spark, crash_root) == baseline  # same input data -> same content
+
+
+def test_one_commit_handles_all_chunks(spark, transcripts_df, tmp_path):
+    """Default mode: N todo chunks → ONE segments snapshot commit (one
+    distributed partitioned write), not N sequential per-chunk commits."""
+    root = str(tmp_path / "onejob")
+    p = RollupPipeline(spark, root, n_buckets=8, chunk_us=CHUNK_US)
+    m = p.run(transcripts_df, input_snapshot=1)
+    assert m["chunks_total"] > 1
+    seg = SnapshotTable.load(os.path.join(root, "segments"))
+    snap = seg.current()
+    # create (id 0) + exactly one data commit
+    assert snap.snapshot_id == 1
+    assert snap.operation == "overwrite_partitions"
+    chunks_in_files = {f["partition"]["time_chunk"] for f in snap.files}
+    assert len(chunks_in_files) == m["chunks_total"]
+    # lineage still has one row per chunk even though the job was one commit
+    lin = p.lineage.read(spark).toPandas()
+    assert lin["time_chunk"].nunique() == m["chunks_total"]
+
+
+def test_snapshot_table_commit_conflict_detected(tmp_path):
+    """Two writers minting from the same base snapshot: the second commit
+    must fail loudly (optimistic concurrency), never silently clobber."""
+    import pandas as pd
+    from lindorm_tsdb_contest_java_spark.sources.table import Snapshot
+    t = SnapshotTable.create(str(tmp_path / "c"))
+    t.append(pd.DataFrame({"v": [1]}))
+    stale = t.current()  # both writers read snapshot 1
+    t.append(pd.DataFrame({"v": [2]}))  # writer A commits snapshot 2
+    with pytest.raises(RuntimeError, match="commit conflict"):
+        t._commit(Snapshot(stale.snapshot_id + 1, stale.snapshot_id,
+                           "append", stale.files, {}))  # writer B loses
 
 
 def test_snapshot_table_partition_replace(spark, tmp_path):
