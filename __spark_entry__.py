@@ -347,6 +347,18 @@ def _q_embedding_top_pairs(spark, sf_dir):
     return _round(out, ["cosine"], 4)
 
 
+def _q_embedding_lsh_pairs(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.first()["embedding"])
+    return _round(DP.embedding_lsh_pairs(emb, dim, k=20, n_planes=6),
+                  ["cosine"], 4)
+
+
+def _q_simhash_near_pairs(spark, sf_dir):
+    return DP.simhash_near_pairs(_docs_with_dups(spark, sf_dir), "doc_id",
+                                 max_hamming=6)
+
+
 def _q_text_quality(spark, sf_dir):
     return DP.text_quality(_docs(spark, sf_dir), "doc_id")
 
@@ -419,6 +431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "embedding_top_pairs": _q_embedding_top_pairs,
+        "embedding_lsh_pairs": _q_embedding_lsh_pairs,
+        "simhash_near_pairs": _q_simhash_near_pairs,
         "text_quality": _q_text_quality,
         "lang_guess": _q_lang_guess,
         "fingerprint": _q_fingerprint,
@@ -737,6 +751,42 @@ LIMIT 10
         "segment_roundtrip": C + """
 SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text, ts_us
 FROM canonical
+""",
+        "embedding_lsh_pairs": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes AS (
+  SELECT p, list_transform(range(0, (SELECT len(v) FROM e LIMIT 1)),
+    d -> CAST('0x' || substr(md5(p || ',' || d), 1, 12) AS BIGINT)
+           / 140737488355328.0 - 1.0) AS plane
+  FROM (SELECT unnest(range(0, 6)) AS p)
+),
+buck AS (
+  SELECT e.vec_id, e.v,
+         CAST(SUM(CASE WHEN list_inner_product(e.v, planes.plane) >= 0
+                       THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM e, planes GROUP BY e.vec_id, e.v
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+ORDER BY list_cosine_similarity(a.v, b.v) DESC, a.vec_id, b.vec_id
+LIMIT 20
+""",
+        "simhash_near_pairs": "WITH " + _DOCS_DUPS_SQL + f""",
+hs AS (SELECT doc_id, {DP.SIMHASH_HS_SQL} AS hs FROM docs2),
+sh AS (SELECT doc_id, {DP.simhash_oracle_terms('hs')} AS simhash FROM hs),
+bandex AS (
+  SELECT doc_id, simhash, b, (simhash >> (b * 12)) & 4095 AS key
+  FROM sh, (SELECT unnest(range(0, 4)) AS b)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         a.simhash AS sh_a, c.simhash AS sh_b
+  FROM bandex a JOIN bandex c ON a.b = c.b AND a.key = c.key
+                             AND a.doc_id < c.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 6
 """,
         "ann_cosine_topk": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)

@@ -146,6 +146,16 @@ def main():
     with timed("latest"):
         Q.latest(canon, None, ["turn_idx", "ts_us"]).count()
 
+    # materialized latest tier (MapIndex.getLast analog): the engine path
+    from lindorm_tsdb_contest_java_spark.operators.tiers import (
+        build_latest_tier, latest_from_tier,
+    )
+    lt_path = os.path.join(CACHE_DIR, "tier_latest.parquet")
+    build_latest_tier(canon).write.mode("overwrite").parquet(lt_path)
+    lt = spark.read.parquet(lt_path)
+    with timed("latest_tier"):
+        latest_from_tier(lt, None, ["turn_idx", "ts_us"]).count()
+
     # ---- testdata queries at the given sf ----
     import __spark_entry__ as E
     with timed("hourly_role_rates"):

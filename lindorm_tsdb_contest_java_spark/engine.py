@@ -33,7 +33,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .operators import queries as Q
-from .operators.tiers import MINUTE_MS, build_conv_tier
+from .operators.tiers import (
+    MINUTE_MS, build_conv_tier, build_latest_tier, latest_from_tier,
+)
 from .plans.router import routed_aggregate, routed_downsample
 from .sources.segments import CANONICAL_COLUMNS, canonicalize, encode_segments
 from .sources.table import SnapshotTable
@@ -53,6 +55,7 @@ class TranscriptTSDB:
         self._raw = SnapshotTable.create(os.path.join(root, "raw"))
         self._segments = SnapshotTable.create(os.path.join(root, "segments"))
         self._tier_1m = SnapshotTable.create(os.path.join(root, "tier_conv_1m"))
+        self._tier_latest = SnapshotTable.create(os.path.join(root, "tier_latest"))
 
     # ---------- write path ----------
 
@@ -78,6 +81,7 @@ class TranscriptTSDB:
         canon = self._committed_canonical()
         self._segments.overwrite(encode_segments(canon))
         self._tier_1m.overwrite(build_conv_tier(canon, MINUTE_MS))
+        self._tier_latest.overwrite(build_latest_tier(canon))
         self._canon_cache = self._tier_cache = None
 
     # ---------- read path ----------
@@ -108,6 +112,14 @@ class TranscriptTSDB:
 
     def execute_latest_query(self, conv_ids: list[str] | None = None,
                              columns: list[str] | None = None) -> DataFrame:
+        """Served from the materialized latest tier when the committed
+        state is current (the reference answers latest from its in-memory
+        index, MapIndex.java:99-114, never by scanning blocks); buffered
+        unflushed rows force the memtable-visible raw path."""
+        if not self._buffer and self._tier_latest.current().files:
+            tier = self._tier_latest.read(self.spark)
+            cols = columns or [c for c in CANONICAL_COLUMNS if c != "conv_id"]
+            return latest_from_tier(tier, conv_ids, cols)
         return Q.latest(self._canonical(), conv_ids, columns)
 
     def execute_time_range_query(self, conv_id: str, lb_ms: int, ub_ms: int,

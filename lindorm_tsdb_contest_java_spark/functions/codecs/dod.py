@@ -1,15 +1,26 @@
-"""Delta-of-delta + ZigZag + varint for int64 sequences.
+"""Int64 column codecs: delta-of-delta, and a best-of-N chooser.
 
 Capability analog of the reference's timestamp codec
-(`compress/LongCompress.java:13-30`: sorted deltas + Simple-8b) and its
-int-column delta paths (`compress/IntCompress.java:541-`), per the target
+(`compress/LongCompress.java:13-30`: sorted deltas + Simple-8b), its
+int-column delta paths (`compress/IntCompress.java:541-`), and its
+per-column codec-choice bitmap (`compress/IntCompress.java:1178-1297`:
+each column records which of several encodings won), per the target
 spec ("delta-of-delta + ZigZag varint for timestamps/turn_idx").
 
-Wire format: <u64le n> [<i64le first> <zstd(varint zigzag(d0), zigzag(dod_1..))>]
+`dod_encode`/`dod_decode` — the fixed delta-of-delta stream:
+  <u64le n> [<i64le first> <zstd(varint zigzag(d0), zigzag(dod_1..))>]
 The zstd-3 envelope collapses the long zero runs a regular grid produces
 (the reference gets the same effect from Simple-8b's 240-zeros-per-word
 selector plus its own zstd envelope). Arithmetic is mod 2^64 on both
 sides, so round-trip is exact even for adversarial full-range inputs.
+
+`int_encode`/`int_decode` — per-block best-of-N with a header byte:
+ranks {dod, plain-delta, raw-zigzag, sorted-dictionary} by their exact
+pre-zstd varint size (computed vectorized WITHOUT encoding all four) and
+encodes only the winner. Timestamps keep choosing dod; a non-monotonic
+column like text_len — whose delta-of-deltas are LARGER than its deltas —
+gets plain delta, raw, or the dictionary instead of paying dod's
+inflation. Wire: <u8 mode> <u64le n> <mode payload>.
 """
 
 from __future__ import annotations
@@ -18,8 +29,10 @@ import struct
 
 import numpy as np
 
-from .framing import zstd_compress, zstd_decompress
-from .varint import varint_decode, varint_encode, zigzag_decode, zigzag_encode
+from .framing import pack_sections, unpack_sections, zstd_compress, zstd_decompress
+from .varint import (
+    varint_decode, varint_encode, varint_size, zigzag_decode, zigzag_encode,
+)
 
 _HDR = struct.Struct("<Q")
 _I64 = struct.Struct("<q")
@@ -52,4 +65,83 @@ def dod_decode(blob: bytes) -> np.ndarray:
     out = np.empty(n, dtype=np.int64)
     out[0] = first
     np.add(first, np.cumsum(deltas), out=out[1:])
+    return out
+
+
+# ---------- best-of-N int codec with a mode header byte ----------
+
+MODE_DOD, MODE_DELTA, MODE_RAW, MODE_DICT = 0, 1, 2, 3
+
+
+def int_encode(values: np.ndarray) -> bytes:
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    n = v.size
+    if n == 0:
+        return bytes([MODE_RAW]) + _HDR.pack(0)
+    zz_raw = zigzag_encode(v)
+    if n == 1:
+        return (bytes([MODE_RAW]) + _HDR.pack(1)
+                + zstd_compress(varint_encode(zz_raw)))
+
+    deltas = np.diff(v)
+    dod = np.empty(n - 1, dtype=np.int64)
+    dod[0] = deltas[0]
+    np.subtract(deltas[1:], deltas[:-1], out=dod[1:])
+    zz_delta = zigzag_encode(deltas)
+    zz_dod = zigzag_encode(dod)
+    sizes = {
+        MODE_RAW: varint_size(zz_raw),
+        MODE_DELTA: 8 + varint_size(zz_delta),
+        MODE_DOD: 8 + varint_size(zz_dod),
+    }
+    uniq, codes = np.unique(v, return_inverse=True)
+    zz_uduniq = None
+    if uniq.size <= max(16, n // 4):
+        ud = np.empty(uniq.size, dtype=np.int64)
+        ud[0] = uniq[0]
+        np.subtract(uniq[1:], uniq[:-1], out=ud[1:])
+        zz_uduniq = zigzag_encode(ud)
+        sizes[MODE_DICT] = (varint_size(np.asarray([uniq.size], np.uint64))
+                            + varint_size(zz_uduniq)
+                            + varint_size(codes.astype(np.uint64)))
+    mode = min(sizes, key=sizes.get)
+
+    if mode == MODE_RAW:
+        payload = varint_encode(zz_raw)
+        return bytes([mode]) + _HDR.pack(n) + zstd_compress(payload)
+    if mode == MODE_DICT:
+        payload = pack_sections(
+            varint_encode(np.asarray([uniq.size], np.uint64)),
+            varint_encode(zz_uduniq),
+            varint_encode(codes.astype(np.uint64)),
+        )
+        return bytes([mode]) + _HDR.pack(n) + zstd_compress(payload)
+    stream = zz_delta if mode == MODE_DELTA else zz_dod
+    return (bytes([mode]) + _HDR.pack(n) + _I64.pack(int(v[0]))
+            + zstd_compress(varint_encode(stream)))
+
+
+def int_decode(blob: bytes) -> np.ndarray:
+    mode = blob[0]
+    (n,) = _HDR.unpack_from(blob, 1)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    if mode == MODE_RAW:
+        return zigzag_decode(varint_decode(zstd_decompress(blob[9:]), n))
+    if mode == MODE_DICT:
+        nu_b, ud_b, codes_b = unpack_sections(zstd_decompress(blob[9:]), 3)
+        nu = int(varint_decode(nu_b, 1)[0])
+        uniq = np.cumsum(zigzag_decode(varint_decode(ud_b, nu)))
+        codes = varint_decode(codes_b, n).astype(np.int64)
+        return uniq[codes]
+    (first,) = _I64.unpack_from(blob, 9)
+    if n == 1:
+        return np.array([first], dtype=np.int64)
+    stream = zigzag_decode(varint_decode(zstd_decompress(blob[17:]), n - 1))
+    out = np.empty(n, dtype=np.int64)
+    out[0] = first
+    if mode == MODE_DOD:
+        np.add(first, np.cumsum(np.cumsum(stream)), out=out[1:])
+    else:  # MODE_DELTA
+        np.add(first, np.cumsum(stream), out=out[1:])
     return out

@@ -42,6 +42,14 @@ def _utf8_lengths_and_data(values) -> tuple[np.ndarray, bytes]:
     offsets = offsets[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
     data = buffers[2].to_pybytes()[offsets[0] : offsets[-1]] if buffers[2] is not None else b""
     lengths = np.diff(offsets)
+    # decode rebuilds int32 StringArray offsets: a segment whose
+    # concatenated UTF-8 exceeds 2^31 bytes would silently overflow them,
+    # so fail loudly at encode time (cap segment size upstream instead)
+    if len(data) > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"string payload {len(data)} bytes exceeds the int32 offset "
+            "range of one segment — split the block (max_rows_per_conv / "
+            "smaller time_chunk)")
     return lengths, data
 
 

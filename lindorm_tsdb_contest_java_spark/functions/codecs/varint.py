@@ -48,6 +48,18 @@ def varint_encode(u: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varint_size(u: np.ndarray) -> int:
+    """Total LEB128 bytes the array would encode to — without encoding.
+    Lets a codec chooser rank candidate streams in a few vector passes."""
+    u = np.asarray(u, dtype=np.uint64)
+    if u.size == 0:
+        return 0
+    nbytes = np.ones(u.size, dtype=np.int64)
+    for k in range(1, _MAXB):
+        nbytes += (u >= _U64(1) << _U64(7 * k)).astype(np.int64)
+    return int(nbytes.sum())
+
+
 def varint_decode(buf: bytes, n: int) -> np.ndarray:
     """LEB128 bytes -> uint64 array of length n, fully vectorized."""
     if n == 0:

@@ -253,13 +253,48 @@ SIMHASH_HS_SQL = (
 
 def simhash_dedup(df: DataFrame, id_col: str, text_col: str = "text",
                   max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup candidates: identical-simhash groups (hamming 0)
-    plus banded buckets for <= max_hamming would follow the LSH pattern;
-    here we surface the simhash per doc and the hamming-0 groups."""
+    """SimHash exact-dup groups (hamming 0): identical-simhash grouping.
+    For hamming > 0 candidates see simhash_near_pairs."""
     sh = df.select(F.col(id_col), simhash_expr(F.col(text_col)).alias("simhash"))
     groups = (sh.groupBy("simhash").agg(F.count("*").alias("n_docs"),
                                         F.min(id_col).alias("keep_id")))
     return groups.filter(F.col("n_docs") > 1)
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                       max_hamming: int = 6, n_bands: int = 4) -> DataFrame:
+    """SimHash near-dup pairs within a hamming radius, banded-LSH style:
+    split the 48-bit simhash into n_bands fixed bit-bands; two docs within
+    hamming <= 48/n_bands - 1 of each other are guaranteed to share at
+    least one unchanged band (pigeonhole), so candidates come from ONE
+    groupBy on (band, band_bits) — O(n), never all-pairs — and the exact
+    popcount check runs only on same-bucket candidates. All JVM
+    expressions; SQL twin in the driver oracle."""
+    width = SIMHASH_BITS // n_bands
+    mask = (1 << width) - 1
+    sh = df.select(F.col(id_col), simhash_expr(F.col(text_col)).alias("simhash"))
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask))
+                  .alias("key"))
+        for b in range(n_bands)])
+    ex = (sh.select(id_col, "simhash", F.explode(bands).alias("bk"))
+          .select(id_col, "simhash", "bk.band", "bk.key"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, on=["band", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b"))
+        .distinct()
+        .withColumn("hamming",
+                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+                     .cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("id_a", "id_b", "hamming")
 
 
 # ---------- similarity search ----------
@@ -302,25 +337,56 @@ def ann_lsh_topk(df: DataFrame, qvec: list[float], id_col: str = "vec_id",
     deterministic md5-derived function of (plane, dim) — SQL-portable."""
     dim = len(qvec)
     planes = [lsh_plane(p, dim) for p in range(n_planes)]
-
-    def bucket_expr(vcol):
-        bits = []
-        for p, plane in enumerate(planes):
-            parr = F.array(*[F.lit(float(x)) for x in plane])
-            dot = F.aggregate(F.zip_with(vcol, parr, lambda x, y: x * y),
-                              F.lit(0.0), lambda acc, x: acc + x)
-            bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-        return sum(bits[1:], bits[0])
-
     qbucket = int(sum((1 << p) for p, plane in enumerate(planes)
                       if float(np.dot(plane, qvec)) >= 0))
     vcol = F.col(vec_col).cast("array<double>")
     return (
-        df.withColumn("bucket", bucket_expr(vcol).cast("long"))
+        df.withColumn("bucket", _bucket_expr(vcol, planes))
         .filter(F.col("bucket") == qbucket)  # partition-prunable at scale
         .withColumn("cosine", _cosine(vcol, qvec))
         .select(id_col, "bucket", "cosine")
         .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _bucket_expr(vcol: Column, planes: list[list[float]]) -> Column:
+    bits = []
+    for p, plane in enumerate(planes):
+        parr = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(F.zip_with(vcol, parr, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    return sum(bits[1:], bits[0]).cast("long")
+
+
+def embedding_lsh_pairs(df: DataFrame, dim: int, id_col: str = "vec_id",
+                        vec_col: str = "embedding", k: int = 20,
+                        n_planes: int = 6) -> DataFrame:
+    """Embedding near-dup pairs, LSH-bucketed — the SCALE path for pair
+    discovery (embedding_top_pairs is the exact bounded baseline): vectors
+    are sign-bucketed by md5-derived hyperplanes and the cosine self-join
+    runs within buckets only, cutting the cross product by ~2^n_planes.
+    Recall < 1 by construction (near-dups with near-zero plane margins can
+    land in different buckets); at 10^9 vectors the bucket column is the
+    partition key, so each bucket's pair scan is partition-local."""
+    planes = [lsh_plane(p, dim) for p in range(n_planes)]
+    vcol = F.col(vec_col).cast("array<double>")
+    sub = df.select(F.col(id_col), _bucket_expr(vcol, planes).alias("bucket"),
+                    vcol.alias("v"))
+    a, b = sub.alias("a"), sub.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda side: F.sqrt(F.aggregate(  # noqa: E731
+        F.zip_with(F.col(f"{side}.v"), F.col(f"{side}.v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                (dot / (norm("a") * norm("b"))).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "id_a", "id_b")
         .limit(k)
     )
 

@@ -47,14 +47,45 @@ AVG = "AVG"
 MAX = "MAX"
 
 
-def _pred(col: str, op: str | None, value) -> Column:
+_INT_TYPES = ("int", "bigint", "smallint", "tinyint")
+_FLOAT_TYPES = ("float", "double")
+
+
+def type_mismatch(col_type: str | None, value) -> bool:
+    """The reference compares typed ColumnValues: a filter value whose
+    type differs from the column's type matches NOTHING — EQUAL via
+    ColumnValue.equals, GREATER explicitly
+    (CompareExpression.java:44-46). INTEGER and DOUBLE are distinct
+    types there, so an int column filtered with a float literal (or
+    vice versa) is a mismatch, not a cast."""
+    if col_type is None:
+        return False
+    if isinstance(value, bool):
+        return True
+    if col_type in _INT_TYPES:
+        return not isinstance(value, int)
+    if col_type in _FLOAT_TYPES:
+        return not isinstance(value, float)
+    if col_type == "string":
+        return not isinstance(value, str)
+    return False
+
+
+def _pred(col: str, op: str | None, value, col_type: str | None = None) -> Column:
     if op is None:
         return F.lit(True)
+    if op not in (EQUAL, GREATER):
+        raise ValueError(
+            f"unsupported compare op {op!r} (reference supports EQUAL|GREATER)")
+    if type_mismatch(col_type, value):
+        return F.lit(False)  # CompareExpression.java:44-46: mismatch -> false
+    if op == GREATER and col_type == "string":
+        # CompareExpression.java:50-53 throws on non-numeric GREATER
+        raise ValueError(
+            "GREATER is numeric-only (CompareExpression.java:50-53)")
     if op == EQUAL:
         return F.col(col) == F.lit(value)
-    if op == GREATER:
-        return F.col(col) > F.lit(value)
-    raise ValueError(f"unsupported compare op {op!r} (reference supports EQUAL|GREATER)")
+    return F.col(col) > F.lit(value)
 
 
 def _range(lb_ms: int, ub_ms: int) -> Column:
@@ -119,7 +150,9 @@ def downsample(df: DataFrame, conv_id: str, column: str, lb_ms: int, ub_ms: int,
 
     scoped = df.filter((F.col("conv_id") == conv_id) & _range(lb_ms, ub_ms))
     w = F.floor((F.col("ts_us") - F.lit(lb_ms * 1000)) / F.lit(interval_ms * 1000))
-    survivors = F.when(_pred(column, filter_op, filter_value), F.col(column))
+    survivors = F.when(
+        _pred(column, filter_op, filter_value, dict(df.dtypes)[column]),
+        F.col(column))
     if agg == AVG:
         value = (F.sum(survivors) / F.count(survivors)).cast("double")
         sentinel = F.lit(None).cast("double") if sentinel_as_null else F.lit(DOUBLE_SENTINEL)

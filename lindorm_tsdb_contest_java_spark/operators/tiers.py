@@ -95,6 +95,39 @@ def with_avg(tier: DataFrame) -> DataFrame:
     ).withColumn("latency_avg", (F.col("latency_sum") / F.col("n_turns")).cast("double"))
 
 
+def build_latest_tier(canonical: DataFrame) -> DataFrame:
+    """Per-(conv_id, time_chunk) newest row — the materialized analog of
+    the reference's in-memory latest index (index/MapIndex.java:99-114
+    getLast; loaded at connect, TSDBEngineImpl.java:184-209). One row per
+    conversation per chunk, so 'latest per conv' becomes an argmax over
+    ~n_convs × n_chunks tier rows instead of a 10^12-turn raw scan; the
+    chunk granularity keeps the tier incrementally maintainable by the
+    pipeline's partitioned writes. Ties broken by (ts_us, turn_idx) so
+    rebuilds are deterministic."""
+    vals = [c for c in canonical.columns if c not in ("conv_id", "time_chunk")]
+    order = F.struct(F.col("ts_us"), F.col("turn_idx"))
+    return (canonical.groupBy("conv_id", "time_chunk")
+            .agg(F.max_by(F.struct(*vals), order).alias("_row"))
+            .select("conv_id", "time_chunk",
+                    *[F.col(f"_row.{c}").alias(c) for c in vals]))
+
+
+def latest_from_tier(tier: DataFrame, conv_ids: list[str] | None = None,
+                     columns: list[str] | None = None) -> DataFrame:
+    """Serve 'latest row per conversation' from the latest tier: the final
+    argmax runs over per-chunk winners only."""
+    value_cols = columns or [c for c in tier.columns
+                             if c not in ("conv_id", "time_chunk")]
+    out = tier
+    if conv_ids is not None:
+        out = out.filter(F.col("conv_id").isin(conv_ids))
+    order = F.struct(F.col("ts_us"), F.col("turn_idx"))
+    picked = out.groupBy("conv_id").agg(
+        F.max_by(F.struct(*value_cols), order).alias("_row"))
+    return picked.select("conv_id",
+                         *[F.col(f"_row.{c}").alias(c) for c in value_cols])
+
+
 # ---------- rate tiers (role/tool rates + latency percentiles) ----------
 
 _RATE_TIER_SCHEMA = (

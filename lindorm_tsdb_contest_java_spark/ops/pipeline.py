@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.tiers import (
     HOUR_MS, MINUTE_MS, DAY_MS,
-    build_conv_tier, build_rate_tier, rollup_conv_tier, rollup_rate_tier,
+    build_conv_tier, build_latest_tier, build_rate_tier,
+    rollup_conv_tier, rollup_rate_tier,
 )
 from ..sources.segments import DEFAULT_CHUNK_US, canonicalize, encode_segments
 from ..sources.table import SnapshotTable
@@ -190,6 +191,9 @@ class RollupPipeline:
         self.table("tier_rate_1m").overwrite_partitions_multi(
             build_rate_tier(part).withColumn("time_chunk", chunk_of),
             "time_chunk", [int(c) for c in batch])
+        # latest tier: per-(conv, chunk) newest row — MapIndex.getLast analog
+        self.table("tier_latest").overwrite_partitions_multi(
+            build_latest_tier(part), "time_chunk", [int(c) for c in batch])
 
         wall = time.perf_counter() - t0
         total_rows = sum(r for r, _ in stats.values()) or 1

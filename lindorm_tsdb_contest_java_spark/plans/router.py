@@ -47,8 +47,12 @@ def routed_aggregate(
     tier_width_ms: int = MINUTE_MS,
 ) -> DataFrame:
     """Tier-accelerated single-bucket AVG/MAX with reference semantics
-    (result ts = lb, AVG -> double, empty range -> empty result)."""
+    (result ts = lb, AVG -> double, MAX keeps the column's native type —
+    TSDBEngineImpl.java:308-377 — empty range -> empty result). Only the
+    AVG sums are cast to double; MAX values flow through untouched so the
+    result schema is independent of whether the tier served the query."""
     sum_col, max_col = _TIER_COLS[column]
+    vtype = dict(raw.dtypes)[column]
     lo = -(-lb_ms // tier_width_ms) * tier_width_ms   # ceil to tier grid
     hi = (ub_ms // tier_width_ms) * tier_width_ms     # floor to tier grid
     has_interior = lo < hi
@@ -59,7 +63,7 @@ def routed_aggregate(
                            & (F.col("bucket_ms") >= lo) & (F.col("bucket_ms") < hi))
             .select(F.col(sum_col).cast("double").alias("_sum"),
                     F.col("n_turns").alias("_cnt"),
-                    F.col(max_col).cast("double").alias("_max"))
+                    F.col(max_col).cast(vtype).alias("_max"))
         )
         edge_pred = (F.col("ts_us") >= lb_ms * 1000) & (F.col("ts_us") < lo * 1000) | \
                     (F.col("ts_us") >= hi * 1000) & (F.col("ts_us") < ub_ms * 1000)
@@ -69,9 +73,9 @@ def routed_aggregate(
 
     edges = (
         raw.filter((F.col("conv_id") == conv_id) & edge_pred)
-        .select(F.col(column).cast("double").alias("_v"))
-        .agg(F.sum("_v").alias("_sum"), F.count("_v").alias("_cnt"),
-             F.max("_v").alias("_max"))
+        .agg(F.sum(F.col(column).cast("double")).alias("_sum"),
+             F.count(column).alias("_cnt"),
+             F.max(column).cast(vtype).alias("_max"))
         .filter(F.col("_cnt") > 0)
     )
     parts = edges.unionByName(interior) if interior is not None else edges
@@ -127,6 +131,8 @@ def routed_downsample(
     spark = raw.sparkSession
     sum_col, _ = _TIER_COLS[column]
     min_col, max_col = _TIER_MINMAX[column]
+    vtype = dict(raw.dtypes)[column]
+    int_col = vtype in ("int", "bigint", "smallint", "tinyint")
 
     buckets = tier_1m.filter(
         (F.col("conv_id") == conv_id)
@@ -134,6 +140,11 @@ def routed_downsample(
     if filter_op is None:
         pass_all = F.lit(True)
         pass_none = F.lit(False)
+    elif Q.type_mismatch(vtype, filter_value):
+        # mismatched filter type matches nothing (CompareExpression.java:44-46):
+        # every bucket classifies as fully-failing, all windows -> sentinel
+        pass_all = F.lit(False)
+        pass_none = F.lit(True)
     elif filter_op == Q.GREATER:
         pass_all = F.col(min_col) > F.lit(filter_value)
         pass_none = F.col(max_col) <= F.lit(filter_value)
@@ -150,22 +161,24 @@ def routed_downsample(
                .select(w_of_bucket.alias("_w"),
                        F.col(sum_col).cast("double").alias("_sum"),
                        F.col("n_turns").alias("_cnt"),
-                       F.col(max_col).cast("double").alias("_max")))
+                       F.col(max_col).cast(vtype).alias("_max")))
 
     straddle = (buckets.filter(~pass_all & ~pass_none)
                 .select(F.col("bucket_ms").alias("_sb")))
     raw_bucket = (F.floor(F.col("ts_us") / F.lit(tier_width_ms * 1000))
                   * F.lit(tier_width_ms))
-    survivors = F.when(Q._pred(column, filter_op, filter_value), F.col(column))
+    survivors = F.when(Q._pred(column, filter_op, filter_value, vtype),
+                       F.col(column))
     from_raw = (
         raw.filter(F.col("conv_id") == conv_id)
         .join(F.broadcast(straddle), raw_bucket == F.col("_sb"))
         .select(
             F.floor((F.col("_sb") - F.lit(lb_ms)) / F.lit(interval_ms)).alias("_w"),
-            survivors.cast("double").alias("_v"))
+            survivors.cast("double").alias("_v"),
+            survivors.cast(vtype).alias("_vn"))
         .groupBy("_w")
         .agg(F.sum("_v").alias("_sum"), F.count("_v").alias("_cnt"),
-             F.max("_v").alias("_max"))
+             F.max("_vn").alias("_max"))
     )
 
     parts = covered.unionByName(from_raw)
@@ -173,9 +186,10 @@ def routed_downsample(
         value = (F.sum("_sum") / F.sum("_cnt")).cast("double")
         sentinel = F.lit(Q.DOUBLE_SENTINEL)
     elif agg == Q.MAX:
+        # native type + typed sentinel: identical schema to Q.downsample,
+        # whether or not the tier grid aligned (ADVICE r01)
         value = F.max("_max")
-        sentinel = (F.lit(Q.INT_SENTINEL).cast("double") if column == "text_len"
-                    else F.lit(Q.DOUBLE_SENTINEL))
+        sentinel = F.lit(Q.INT_SENTINEL) if int_col else F.lit(Q.DOUBLE_SENTINEL)
     else:
         raise ValueError(f"unsupported agg {agg!r}")
     per_window = (parts.groupBy("_w")

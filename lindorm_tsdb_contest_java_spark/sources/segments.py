@@ -16,9 +16,10 @@ and AggBucket). Here a *segment* is one encoded row per
 - pre-aggregates: per-metric min/max/sum columns — the analog of
   ``AggBucket`` (index/AggBucket.java:5-36), letting covered-range
   aggregates skip decode entirely;
-- blobs: per-column codec output (ts/turn_idx → delta-of-delta varint;
-  latency → Gorilla XOR; conv_id/role/tool → dict+zstd; text → length-
-  prefixed zstd stream).
+- blobs: per-column codec output (ts/turn_idx/text_len → best-of-N int
+  codec with a mode header byte, IntCompress.java:1178-1297 analog;
+  latency → Gorilla XOR planes; conv_id/role/tool → dict+zstd; text →
+  length-prefixed zstd stream).
 
 Rows inside a segment are sorted by the stable ``(conv_id, turn_idx, ts)``
 order — the per-row invariant the round-trip test checks text equality
@@ -39,8 +40,8 @@ from pyspark.sql.types import (
 )
 
 from ..functions.codecs import (
-    dict_decode, dict_encode, dod_decode, dod_encode,
-    gorilla_decode, gorilla_encode, text_decode, text_encode,
+    dict_decode, dict_encode, gorilla_decode, gorilla_encode,
+    int_decode, int_encode, text_decode, text_encode,
 )
 from ..functions.codecs.strings import dict_decode_arrow, text_decode_arrow
 
@@ -158,9 +159,9 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     tlen = pdf["text_len"].to_numpy(np.int64)
     lat = pdf["latency_s"].to_numpy(np.float64)
     blobs = {
-        "blob_ts": dod_encode(ts),
-        "blob_turn_idx": dod_encode(turn),
-        "blob_text_len": dod_encode(tlen),
+        "blob_ts": int_encode(ts),
+        "blob_turn_idx": int_encode(turn),
+        "blob_text_len": int_encode(tlen),
         "blob_latency": gorilla_encode(lat),
         "blob_conv_id": dict_encode(pdf["conv_id"].to_numpy(object)),
         "blob_role": dict_encode(pdf["role"].to_numpy(object)),
@@ -214,9 +215,9 @@ def _encode_group_arrow(tbl: pa.Table) -> pa.Table:
     lat = tbl.column("latency_s").to_numpy(zero_copy_only=False).astype(np.float64)
     conv_arr = tbl.column("conv_id").combine_chunks()
     blobs = {
-        "blob_ts": dod_encode(ts),
-        "blob_turn_idx": dod_encode(turn),
-        "blob_text_len": dod_encode(tlen),
+        "blob_ts": int_encode(ts),
+        "blob_turn_idx": int_encode(turn),
+        "blob_text_len": int_encode(tlen),
         "blob_latency": gorilla_encode(lat),
         "blob_conv_id": dict_encode(conv_arr),
         "blob_role": dict_encode(tbl.column("role").combine_chunks()),
@@ -329,10 +330,10 @@ def decode_segments(segments: DataFrame, columns: list[str] | None = None) -> Da
                         arrs.append(pa.array(
                             np.full(n, d["time_chunk"][seg].as_py(), dtype=np.int64)))
                     elif c in ("ts_us", "text_len"):
-                        arrs.append(pa.array(dod_decode(d[_BLOB_OF[c]][seg].as_py())))
+                        arrs.append(pa.array(int_decode(d[_BLOB_OF[c]][seg].as_py())))
                     elif c == "turn_idx":
                         arrs.append(pa.array(
-                            dod_decode(d["blob_turn_idx"][seg].as_py()).astype(np.int32)))
+                            int_decode(d["blob_turn_idx"][seg].as_py()).astype(np.int32)))
                     elif c == "latency_s":
                         arrs.append(pa.array(gorilla_decode(d["blob_latency"][seg].as_py())))
                     elif c == "text":

@@ -197,3 +197,50 @@ def test_encode_throughput_floor():
     t2 = time.perf_counter()
     assert (t1 - t0) < 2.0, f"dod encode too slow: {t1-t0:.2f}s for 500k"
     assert (t2 - t1) < 2.0, f"gorilla encode too slow: {t2-t1:.2f}s for 500k"
+
+
+# ---------- best-of-N int codec ----------
+
+from lindorm_tsdb_contest_java_spark.functions.codecs import int_decode, int_encode
+from lindorm_tsdb_contest_java_spark.functions.codecs.dod import (
+    MODE_DELTA, MODE_DICT, MODE_DOD, MODE_RAW,
+)
+
+
+@pytest.mark.parametrize("arr", INT64_CASES, ids=range(len(INT64_CASES)))
+def test_int_codec_roundtrip(arr):
+    assert (int_decode(int_encode(arr)) == arr).all()
+
+
+def test_int_codec_picks_dod_for_regular_grid():
+    ts = np.arange(0, 36_000_000, 1000, dtype=np.int64)
+    blob = int_encode(ts)
+    assert blob[0] == MODE_DOD
+    assert len(blob) < len(ts) * 0.01 + 64
+
+
+def test_int_codec_avoids_dod_for_nonmonotone():
+    """text_len-shaped data: random lengths — delta-of-delta INFLATES the
+    deltas, so the chooser must pick another mode and beat plain dod."""
+    rng = np.random.default_rng(3)
+    tlen = rng.integers(5, 400, 8000).astype(np.int64)
+    blob = int_encode(tlen)
+    assert blob[0] != MODE_DOD
+    from lindorm_tsdb_contest_java_spark.functions.codecs import dod_encode
+    assert len(blob) <= len(dod_encode(tlen))
+    assert (int_decode(blob) == tlen).all()
+
+
+def test_int_codec_picks_dict_for_low_cardinality():
+    rng = np.random.default_rng(4)
+    v = rng.choice(np.array([7, 9, 1_000_003, -5], dtype=np.int64), 10_000)
+    blob = int_encode(v)
+    assert blob[0] == MODE_DICT
+    assert (int_decode(blob) == v).all()
+
+
+def test_int_codec_modes_all_decodable():
+    # tiny arrays exercise the n==0/1 paths
+    for arr in ([], [5], [5, -7], [2**62, -2**62]):
+        a = np.array(arr, dtype=np.int64)
+        assert (int_decode(int_encode(a)) == a).all()

@@ -131,3 +131,27 @@ def test_multimodal_features_deterministic(spark):
     assert (f1["n_frames"][f1["kind"] != "video"] == 1).all()
     for a, b in zip(f1["feature"], f2["feature"]):
         assert list(a) == list(b)
+
+
+def test_simhash_near_pairs_finds_planted(docs):
+    """Planted one-word-changed near-dups sit within a few simhash bits;
+    the banded candidate join must surface them without all-pairs."""
+    pairs = DP.simhash_near_pairs(docs, "doc_id", max_hamming=10).toPandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    for i in range(5):  # exact dups: hamming 0, always recalled
+        assert (i, 300 + i) in found
+    assert (pairs["hamming"] <= 10).all()
+
+
+def test_embedding_lsh_pairs_are_real_cosines(spark):
+    rng = np.random.default_rng(21)
+    vecs = rng.normal(size=(300, 16))
+    vecs[200] = vecs[0] + rng.normal(scale=1e-3, size=16)  # planted near-dup
+    pdf = pd.DataFrame({"vec_id": range(300), "embedding": list(vecs)})
+    df = spark.createDataFrame(pdf)
+    out = DP.embedding_lsh_pairs(df, 16, k=10, n_planes=4).toPandas()
+    assert len(out) == 10
+    # the planted twin pair has cosine ~1 and identical sign pattern
+    top = out.iloc[0]
+    assert (top["id_a"], top["id_b"]) == (0, 200)
+    assert top["cosine"] > 0.999

@@ -103,3 +103,21 @@ def test_upsert_overwrite_through_api(spark, tmp_path):
                                               ["turn_idx", "text"])
             .toPandas().sort_values("turn_idx"))
     assert list(got2["text"]) == ["a", "b-edited", "c"]
+
+
+def test_latest_served_from_tier_after_shutdown(spark, db, oracle_pdf):
+    """Post-flush, execute_latest_query must read the materialized latest
+    tier (MapIndex.getLast analog), not scan the raw table — and still
+    answer identically to the raw-scan oracle."""
+    db.shutdown()
+    reopened = eng.connect(spark, db.root, n_buckets=8)
+    out = reopened.execute_latest_query()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "tier_latest" in plan
+    assert "/raw/" not in plan
+    got = out.toPandas().sort_values("conv_id").reset_index(drop=True)
+    exp = oracle_latest(oracle_pdf, sorted(oracle_pdf["conv_id"].unique())) \
+        .sort_values("conv_id").reset_index(drop=True)
+    assert list(got["conv_id"]) == list(exp["conv_id"])
+    assert list(got["turn_idx"]) == list(exp["turn_idx"])
+    assert list(got["ts_us"]) == list(exp["ts_us"])

@@ -37,6 +37,7 @@ TABLES = {
     "tier_conv_1h": ["conv_id", "bucket_ms"],
     "tier_conv_1d": ["conv_id", "bucket_ms"],
     "tier_rate_1m": ["role", "tool", "bucket_ms"],
+    "tier_latest": ["conv_id", "time_chunk"],
 }
 
 

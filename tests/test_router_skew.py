@@ -103,6 +103,48 @@ def test_routed_downsample_equals_plain(canon, tier_1m, column, agg, op, val):
     np.testing.assert_allclose(rv[~sent], pv[~sent], rtol=1e-12)
 
 
+def test_routed_max_keeps_native_type(canon, tier_1m):
+    """MAX keeps the column type (TSDBEngineImpl.java:308-377): the result
+    schema must not depend on whether the tier grid aligned (ADVICE r01)."""
+    from lindorm_tsdb_contest_java_spark.plans.router import routed_downsample
+
+    lb, ub = _bounds(canon, HOT)
+    al_lb = (lb // 300_000) * 300_000
+    aligned = routed_downsample(canon, tier_1m, HOT, "text_len",
+                                al_lb, al_lb + 600_000, 300_000, "MAX")
+    unaligned = routed_downsample(canon, tier_1m, HOT, "text_len",
+                                  lb + 7, lb + 7 + 600_000, 300_000, "MAX")
+    plain = Q.downsample(canon, HOT, "text_len", al_lb, al_lb + 600_000,
+                         300_000, "MAX")
+    assert dict(aligned.dtypes)["value"] == dict(plain.dtypes)["value"]
+    assert dict(unaligned.dtypes)["value"] == dict(plain.dtypes)["value"]
+    assert dict(plain.dtypes)["value"] in ("int", "bigint")
+    agg = routed_aggregate(canon, tier_1m, HOT, "text_len", al_lb,
+                           al_lb + 600_000, "MAX")
+    assert dict(agg.dtypes)["value"] == dict(canon.dtypes)["text_len"]
+
+
+def test_filter_type_mismatch_matches_nothing(canon, tier_1m):
+    """CompareExpression.java:44-46: GREATER with a value whose type
+    differs from the column's matches NOTHING — every window gets the
+    sentinel; plain and routed agree."""
+    from lindorm_tsdb_contest_java_spark.plans.router import routed_downsample
+
+    lb, _ = _bounds(canon, HOT)
+    lb = (lb // 300_000) * 300_000
+    # float literal against the int text_len column: mismatch, not a cast
+    plain = Q.downsample(canon, HOT, "text_len", lb, lb + 900_000, 300_000,
+                         "MAX", "GREATER", 0.5).toPandas()
+    routed = routed_downsample(canon, tier_1m, HOT, "text_len", lb,
+                               lb + 900_000, 300_000, "MAX", "GREATER", 0.5).toPandas()
+    assert (plain["value"] == Q.INT_SENTINEL).all()
+    assert (routed["value"] == Q.INT_SENTINEL).all()
+    # GREATER is numeric-only: string comparison raises like the reference
+    with pytest.raises(ValueError, match="numeric-only"):
+        Q.downsample(canon, HOT, "role", lb, lb + 900_000, 300_000,
+                     "MAX", "GREATER", "user")
+
+
 def test_routed_downsample_unaligned_falls_back(canon, tier_1m):
     from lindorm_tsdb_contest_java_spark.plans.router import routed_downsample
 
