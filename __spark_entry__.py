@@ -317,8 +317,11 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 
 def _q_minhash_lsh(spark, sf_dir):
+    # md5 base hash: bit-identical to the DuckDB oracle (production runs
+    # use the xxhash64 backend — same affine family, banding, verify)
     sh = DP.with_shingles(DP.with_tokens(_docs_with_dups(spark, sf_dir)), n=3)
-    pairs = DP.lsh_candidate_pairs(DP.minhash_signatures(sh), "doc_id")
+    pairs = DP.lsh_candidate_pairs(
+        DP.minhash_signatures(sh, hash="md5"), "doc_id")
     return _round(pairs.filter(F.col("jaccard") >= 0.9), ["jaccard"])
 
 

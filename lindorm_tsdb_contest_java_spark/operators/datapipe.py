@@ -103,13 +103,26 @@ def _affine(a: int, b: int):
     return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_M)
 
 
-def minhash_signatures(df: DataFrame, n_hashes: int = 16) -> DataFrame:
-    """Per-row MinHash signature. ONE md5-derived 48-bit hash per shingle
+def minhash_signatures(df: DataFrame, n_hashes: int = 16,
+                       hash: str = "xxhash64") -> DataFrame:
+    """Per-row MinHash signature. ONE 48-bit base hash per shingle
     (materialized once as an int array), then n_hashes cheap affine
     permutations over it — the universal-hashing construction, so the
-    md5 cost doesn't multiply by n_hashes. Pure array expressions —
-    zero shuffles, embarrassingly parallel, SQL-portable."""
-    out = df.withColumn("_hs", F.transform(F.col("shingles"), _h48))
+    base-hash cost doesn't multiply by n_hashes. Pure array expressions —
+    zero shuffles, embarrassingly parallel.
+
+    Base-hash backends: 'xxhash64' (default — JVM-native, ~10x faster;
+    use in production) and 'md5' (bit-identical to the DuckDB oracle;
+    the driver's value-checked query uses it). Both feed the SAME affine
+    family, banding, and verification — the backend only swaps the
+    per-shingle hash expression."""
+    if hash == "md5":
+        base = _h48
+    elif hash == "xxhash64":
+        base = lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_M))  # noqa: E731
+    else:
+        raise ValueError(f"unknown minhash base hash {hash!r}")
+    out = df.withColumn("_hs", F.transform(F.col("shingles"), base))
     sigs = [
         F.array_min(F.transform(F.col("_hs"), _affine(*minhash_ab(k))))
         for k in range(n_hashes)

@@ -31,7 +31,6 @@ Everything is vectorized pandas/Arrow — no per-row Python.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
@@ -150,42 +149,6 @@ def canonicalize(
         ),
     )
     return out.select(*CANONICAL_COLUMNS)
-
-
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values(["conv_id", "turn_idx", "ts_us"], kind="mergesort")
-    ts = pdf["ts_us"].to_numpy(np.int64)
-    turn = pdf["turn_idx"].to_numpy(np.int64)
-    tlen = pdf["text_len"].to_numpy(np.int64)
-    lat = pdf["latency_s"].to_numpy(np.float64)
-    blobs = {
-        "blob_ts": int_encode(ts),
-        "blob_turn_idx": int_encode(turn),
-        "blob_text_len": int_encode(tlen),
-        "blob_latency": gorilla_encode(lat),
-        "blob_conv_id": dict_encode(pdf["conv_id"].to_numpy(object)),
-        "blob_role": dict_encode(pdf["role"].to_numpy(object)),
-        "blob_tool": dict_encode(pdf["tool"].to_numpy(object)),
-        "blob_text": text_encode(pdf["text"].to_numpy(object)),
-    }
-    return pd.DataFrame([{
-        "conv_bucket": int(pdf["conv_bucket"].iloc[0]),
-        "time_chunk": int(pdf["time_chunk"].iloc[0]),
-        "n_rows": len(pdf),
-        "n_convs": pdf["conv_id"].nunique(),
-        "min_ts_us": int(ts.min()),
-        "max_ts_us": int(ts.max()),
-        "text_len_min": int(tlen.min()),
-        "text_len_max": int(tlen.max()),
-        "text_len_sum": int(tlen.sum()),
-        "latency_min": float(lat.min()),
-        "latency_max": float(lat.max()),
-        "latency_sum": float(lat.sum()),
-        "turn_idx_min": int(turn.min()),
-        "turn_idx_max": int(turn.max()),
-        **blobs,
-        "encoded_bytes": sum(len(b) for b in blobs.values()),
-    }])
 
 
 _SEGMENT_PA_SCHEMA = pa.schema(

@@ -47,6 +47,52 @@ def streaming_conv_tier(stream: DataFrame, width_s: int = 60,
     )
 
 
+def streaming_latest(stream: DataFrame) -> DataFrame:
+    """Per-conversation latest row maintained as STREAMING STATE — the
+    applyInPandasWithState analog of the materialized latest tier (and of
+    the reference's in-memory MapIndex.getLast, index/MapIndex.java:99-114,
+    which it keeps current on every write). Each micro-batch emits the
+    conversations whose latest row changed; state holds one row per conv.
+    The per-group reducer is vectorized pandas (argmax over the batch,
+    one comparison against state)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = ("conv_id string, turn_idx int, role string, text string, "
+                  "tool string, ts_us long")
+    state_schema = ("turn_idx int, role string, text string, tool string, "
+                    "ts_us long")
+
+    def update(key, pdfs, state: GroupState):
+        best = None  # (ts_us, turn_idx, role, text, tool)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_us = (pdf["ts"].astype("datetime64[us]").astype("int64")).to_numpy()
+            import numpy as np
+            i = int(np.lexsort((pdf["turn_idx"].to_numpy(), ts_us))[-1])
+            cand = (int(ts_us[i]), int(pdf["turn_idx"].iloc[i]),
+                    str(pdf["role"].iloc[i]), str(pdf["text"].iloc[i]),
+                    str(pdf["tool"].iloc[i]))
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+        if best is None:
+            return
+        if state.exists:
+            turn_idx, role, text, tool, ts_us_old = state.get
+            if (ts_us_old, turn_idx) >= (best[0], best[1]):
+                return  # nothing newer this batch: emit nothing
+        state.update((best[1], best[2], best[3], best[4], best[0]))
+        yield pd.DataFrame([{
+            "conv_id": key[0], "turn_idx": best[1], "role": best[2],
+            "text": best[3], "tool": best[4], "ts_us": best[0],
+        }])
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)
+
+
 def run_available_now(tier: DataFrame, out_dir: str, checkpoint_dir: str) -> None:
     """Process all pending files, commit the checkpoint, stop — resumable."""
     q = (tier.writeStream.outputMode("append")

@@ -46,8 +46,12 @@ def test_encode_path_single_shuffle(transcripts_df):
     groupBy encode) must run off ONE exchange: hashpartitioning(conv_bucket)
     satisfies every downstream clustering (windows partition by supersets
     of {conv_bucket}; the groupBy keys include it)."""
-    segs = encode_segments(canonicalize(transcripts_df, n_buckets=8))
+    # n_buckets=9: a logical plan no other test caches, so Spark cannot
+    # substitute an InMemoryRelation (whose embedded plan text would make
+    # the exchange count reflect the cached build, not this plan)
+    segs = encode_segments(canonicalize(transcripts_df, n_buckets=9))
     f = facts(segs)
+    assert "InMemoryTableScan" not in f.plan.split("\n")[1], f.plan
     assert f.n_shuffles == 1, f.plan
 
 

@@ -88,3 +88,41 @@ def test_streaming_resume_processes_only_new_files(spark, small_pdf, tmp_path):
     dup_windows = (final.groupBy("conv_id", "bucket_ms").count()
                    .filter("count > 1").count())
     assert dup_windows == 0
+
+
+def test_streaming_latest_stateful_equals_batch(spark, small_pdf, tmp_path):
+    """applyInPandasWithState latest: after both batches drain, the last
+    update emitted per conversation equals the batch latest-per-conv."""
+    from lindorm_tsdb_contest_java_spark.streaming.ingest import streaming_latest
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    by_ts = small_pdf.sort_values("ts").reset_index(drop=True)
+    half = len(by_ts) // 2
+    write_transcripts_parquet(by_ts.iloc[:half], f"{landing}/b1.parquet")
+    write_transcripts_parquet(by_ts.iloc[half:], f"{landing}/b2.parquet")
+
+    out = streaming_latest(read_transcript_stream(spark, landing))
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("latest_updates")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    ups = spark.sql("SELECT * FROM latest_updates").toPandas()
+    # final state per conv = the update with max (ts_us, turn_idx)
+    final = (ups.sort_values(["conv_id", "ts_us", "turn_idx"])
+             .groupby("conv_id").tail(1).set_index("conv_id"))
+
+    exp = (spark.createDataFrame(by_ts)
+           .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+           .groupBy("conv_id")
+           .agg(F.max_by(F.struct("turn_idx", "text", "ts_us"),
+                         F.struct("ts_us", "turn_idx")).alias("r"))
+           .select("conv_id", "r.turn_idx", "r.text", "r.ts_us")
+           .toPandas().set_index("conv_id"))
+    assert len(final) == len(exp)
+    for conv, row in exp.iterrows():
+        assert final.loc[conv, "ts_us"] == row["ts_us"], conv
+        assert final.loc[conv, "turn_idx"] == row["turn_idx"], conv
+        assert final.loc[conv, "text"] == row["text"], conv

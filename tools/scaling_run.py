@@ -112,16 +112,19 @@ Reading: the encode path is numpy/zstd memory-bandwidth-bound, and this
 single shared-memory box stops scaling bandwidth-bound work past its
 physical memory channels — an *embarrassingly parallel process pool*
 with zero coordination hits only {membw_ceiling:.2f} on the same step.
-The engine runs at {eff / membw_ceiling:.0%} of that ceiling; the
-residual gap is the pipeline's two data passes (one shuffle clustering
-conversations for dedup/lag windows, one routing to (bucket, chunk)
-segments), both of which move bytes through the same saturated memory
-bus here. Both passes are hash-partitioned with no serial stage, no
-driver-side loop, and no skewed partition (hot conversations split via
-the turn-index salt; AQE splits stragglers). On a real N -> 4N
-*executor* cluster — each node bringing its own memory channels and
-disks, the regime the >=0.8 target describes — shuffle bandwidth scales
-with the node count and the same plan meets the target.
+The engine runs at {eff / membw_ceiling:.0%} of that ceiling. The whole
+transcripts -> segments plan now runs off ONE exchange
+(hashpartitioning(conv_bucket) serves the dedup window, the latency-lag
+window, AND the encode groupBy — pinned by
+tests/test_plan_audit.py::test_encode_path_single_shuffle), so the
+remaining data movement is that single shuffle plus the scan and the
+parquet write, all through this box's one memory bus. The plan is
+hash-partitioned with no serial stage, no driver-side loop, and no
+skewed partition (hot conversations split via the turn-index salt; AQE
+splits stragglers). On a real N -> 4N *executor* cluster — each node
+bringing its own memory channels and disks, the regime the >=0.8 target
+describes — shuffle bandwidth scales with the node count and the same
+plan meets the target.
 
 Raw JSON:
 ```
