@@ -694,31 +694,31 @@ shing AS (
   FROM toks
 ),
 hs AS (
-  SELECT doc_id, shingles,
-         list_transform(shingles,
-           s -> CAST('0x' || substr(md5(s), 1, 12) AS BIGINT)) AS hs
+  SELECT doc_id,
+         list_distinct(list_transform(shingles,
+           s -> CAST('0x' || substr(md5(s), 1, 12) AS BIGINT))) AS hs
   FROM shing WHERE len(shingles) > 0
 ),
 mh AS (
-  SELECT doc_id, shingles, """ + DP.minhash_oracle_list_sql("hs") + """ AS minhash
+  SELECT doc_id, hs, """ + DP.minhash_oracle_list_sql("hs") + """ AS minhash
   FROM hs
 ),
 bandex AS (
-  SELECT doc_id, b,
+  SELECT doc_id, hs, b,
          md5(concat_ws('|', minhash[4*b+1], minhash[4*b+2],
                             minhash[4*b+3], minhash[4*b+4])) AS key
   FROM mh, (SELECT unnest(range(0, 4)) AS b)
 ),
 pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         a.hs AS hs_a, c.hs AS hs_b
   FROM bandex a JOIN bandex c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
 ),
 scored AS (
   SELECT id_a, id_b,
-         len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
-           (len(sa.shingles) + len(sb.shingles)
-            - len(list_intersect(sa.shingles, sb.shingles))) AS j
-  FROM pairs JOIN shing sa ON sa.doc_id = id_a JOIN shing sb ON sb.doc_id = id_b
+         len(list_intersect(hs_a, hs_b)) * 1.0 /
+           (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b))) AS j
+  FROM pairs
 )
 SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM scored WHERE j >= 0.9
 """,

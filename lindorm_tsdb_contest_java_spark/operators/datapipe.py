@@ -32,6 +32,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -99,8 +100,38 @@ def minhash_ab(k: int) -> tuple[int, int]:
     return (_h48_py(f"mh-a:{k}") % (1 << 15)) | 1, _h48_py(f"mh-b:{k}")
 
 
-def _affine(a: int, b: int):
-    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_M)
+def _minhash_udf(n_hashes: int):
+    """Arrow-batched numpy kernel: minhash signatures from the per-row
+    hash arrays. One flatten + n_hashes vectorized affine/min passes per
+    batch (np.minimum.reduceat over segment starts) — Spark's built-in
+    higher-order `transform` evaluates its lambda INTERPRETED per array
+    element, which at n_hashes passes per shingle dominates the whole LSH
+    pipeline; this kernel does the same exact int64 arithmetic at numpy
+    speed. Rows with empty hash sets get an empty signature (they are
+    filtered out of banding anyway)."""
+    abks = [minhash_ab(k) for k in range(n_hashes)]
+
+    @F.pandas_udf("array<bigint>")
+    def udf(hs: pd.Series) -> pd.Series:
+        lens = np.fromiter((len(x) for x in hs), dtype=np.int64, count=len(hs))
+        out = np.empty(len(hs), dtype=object)
+        nz = np.flatnonzero(lens)
+        if nz.size:
+            flat = np.concatenate([np.asarray(hs.iloc[i], dtype=np.int64)
+                                   for i in nz])
+            starts = np.zeros(nz.size, dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            sigs = np.empty((nz.size, n_hashes), dtype=np.int64)
+            for k, (a, b) in enumerate(abks):
+                sigs[:, k] = np.minimum.reduceat((a * flat + b) % MINHASH_M,
+                                                 starts)
+            for j, i in enumerate(nz):
+                out[i] = sigs[j]
+        for i in np.flatnonzero(lens == 0):
+            out[i] = np.empty(0, dtype=np.int64)
+        return pd.Series(out)
+
+    return udf
 
 
 def minhash_signatures(df: DataFrame, n_hashes: int = 16,
@@ -122,12 +153,11 @@ def minhash_signatures(df: DataFrame, n_hashes: int = 16,
         base = lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_M))  # noqa: E731
     else:
         raise ValueError(f"unknown minhash base hash {hash!r}")
-    out = df.withColumn("_hs", F.transform(F.col("shingles"), base))
-    sigs = [
-        F.array_min(F.transform(F.col("_hs"), _affine(*minhash_ab(k))))
-        for k in range(n_hashes)
-    ]
-    return out.withColumn("minhash", F.array(*sigs)).drop("_hs")
+    # hs is kept: lsh_candidate_pairs verifies jaccard over these compact
+    # int64 hash sets instead of re-deriving the string shingle arrays
+    out = df.withColumn(
+        "hs", F.array_distinct(F.transform(F.col("shingles"), base)))
+    return out.withColumn("minhash", _minhash_udf(n_hashes)(F.col("hs")))
 
 
 def minhash_oracle_list_sql(hs_col: str = "hs", n_hashes: int = 16) -> str:
@@ -146,42 +176,64 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, n_hashes: int = 16,
     One shuffle on band keys; the join explosion is bounded by bucket
     population (near-dups only), not n^2.
 
-    The candidate-dedup `.distinct()` shuffles ONLY (id_a, id_b); the
-    shingle sets are re-joined afterwards for just the surviving pairs —
-    at 10^9 docs the dedup exchange moves 16 bytes/candidate, not two
-    full shingle arrays."""
+    Candidate dedup is a groupBy on (id_a, id_b) ONLY — the shingle-hash
+    sets ride along as any_value payload, never as part of the shuffle
+    KEY (no array hashing/comparison in the exchange), and nothing
+    upstream is recomputed. Verification jaccard is over the compact
+    int64 hash sets from minhash_signatures (8 bytes/shingle instead of
+    the string shingles; the SQL oracle intersects the same lists)."""
+    import hashlib as _hl
     n_bands = n_hashes // band_size
+    # F.get is null-safe on the empty-signature rows (empty docs), so no
+    # pre-explode filter is needed — a filter on minhash/hs would be
+    # pushed down through the projections, re-evaluating the whole
+    # tokenize->shingle->hash chain (and the UDF) a second time as an
+    # interpreted predicate. Empty docs all land on the md5("") key,
+    # dropped AFTER the explode (generate output can't be pushed through).
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
             F.md5(F.concat_ws("|", *[
-                F.element_at("minhash", b * band_size + i + 1).cast("string")
+                F.get("minhash", b * band_size + i).cast("string")
                 for i in range(band_size)])).alias("key"),
         ) for b in range(n_bands)
     ])
-    exploded = (df.filter(F.size("shingles") > 0)
-                .select(F.col(id_col), F.explode(bands).alias("bk"))
-                .select(id_col, "bk.band", "bk.key"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    pairs = (
-        a.join(b, on=["band", "key"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
-    sh = df.select(F.col(id_col), "shingles")
-    verified = (
-        pairs
-        .join(sh.select(F.col(id_col).alias("id_a"),
-                        F.col("shingles").alias("sh_a")), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"),
-                        F.col("shingles").alias("sh_b")), "id_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (verified.withColumn("jaccard", inter / union)
+    empty_key = _hl.md5(b"").hexdigest()
+    exploded = (df.select(F.col(id_col), "hs", F.explode(bands).alias("bk"))
+                .select(id_col, "hs", "bk.band", "bk.key")
+                .filter(F.col("key") != empty_key))
+    # bucket-collect instead of a self-join: a self-join evaluates the
+    # whole upstream expression chain once per side; collecting bucket
+    # members evaluates it ONCE and generates the (i < j) pairs from the
+    # collected array (buckets hold near-dups only, so they are tiny —
+    # a hot bucket would mean a degenerate band, not a hot key)
+    buckets = (exploded
+               .groupBy("band", "key")
+               .agg(F.collect_list(F.struct(F.col(id_col).alias("id"),
+                                            F.col("hs").alias("hs"))).alias("m"))
+               .filter(F.size("m") >= 2))
+    n = F.size("m")
+    pair_structs = F.flatten(F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.transform(
+            F.sequence(i + 1, n - 1),
+            lambda j: F.struct(
+                F.element_at("m", (i + 1).cast("int")).alias("x"),
+                F.element_at("m", (j + 1).cast("int")).alias("y")))))
+    cand = (buckets.select(F.explode(pair_structs).alias("p"))
+            .select(F.when(F.col("p.x.id") < F.col("p.y.id"), F.col("p.x"))
+                     .otherwise(F.col("p.y")).alias("a"),
+                    F.when(F.col("p.x.id") < F.col("p.y.id"), F.col("p.y"))
+                     .otherwise(F.col("p.x")).alias("b"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.hs").alias("hs_a"), F.col("b.hs").alias("hs_b")))
+    # dedup on ids ONLY (arrays ride as any_value payload, never shuffle keys)
+    pairs = (cand.groupBy("id_a", "id_b")
+             .agg(F.any_value("hs_a").alias("hs_a"),
+                  F.any_value("hs_b").alias("hs_b")))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size(F.array_union("hs_a", "hs_b"))
+    return (pairs.withColumn("jaccard", inter / union)
             .select("id_a", "id_b", "jaccard"))
 
 
