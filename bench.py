@@ -134,8 +134,10 @@ def main():
         t1d.write.mode("overwrite").parquet(os.path.join(CACHE_DIR, "t1d.parquet"))
 
     with timed("decode_scan"):
-        decode_segments(segments, ["conv_id", "ts_us", "text_len"]) \
-            .agg(F.sum("text_len")).collect()
+        # covers all three codec families: dict (conv_id), best-of-N int
+        # (ts/text_len), Gorilla planes (latency_s)
+        decode_segments(segments, ["conv_id", "ts_us", "text_len", "latency_s"]) \
+            .agg(F.sum("text_len"), F.sum("latency_s")).collect()
 
     hot = "conv-00000000"
     lb = 1_704_067_200_000
