@@ -231,6 +231,48 @@ def _q_tpch_q1(spark, sf_dir):
                  F.count("*").alias("count_order")))
 
 
+def _q_tpch_q6(spark, sf_dir):
+    """Forecasting revenue change: pure filter + single agg — Catalyst
+    pushes every predicate into the parquet scan. Money exact as
+    cents x basis points (int64)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * F.round(F.col("l_discount") * 10000).cast("long"))
+    return (li.filter((F.col("l_shipdate") >= F.lit("1994-01-01"))
+                      & (F.col("l_shipdate") < F.lit("1995-01-01"))
+                      & (F.col("l_discount") >= 0.05)
+                      & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 24))
+            .agg(F.sum(rev).alias("revenue_cents_bps"),
+                 F.count("*").alias("n_rows")))
+
+
+def _q_tpch_q3(spark, sf_dir):
+    """Unshipped-orders top-10: 3-way join (customer broadcast), group,
+    TakeOrdered limit. Revenue exact as discounted cents (int64).
+    (The testdata orders table carries o_orderpriority, not TPC-H's
+    o_shippriority — grouped on that instead.)"""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cutoff = "1995-03-15"
+    disc_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                         * 100).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") > F.lit(cutoff))
+        .join(o.filter(F.col("o_orderdate") < F.lit(cutoff)),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn("o_orderdate_us",
+                    F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .groupBy("l_orderkey", "o_orderdate_us", "o_orderpriority")
+        .agg(F.sum(disc_cents).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), "o_orderdate_us", "l_orderkey")
+        .limit(10)
+    )
+
+
 def _q_mktsegment_revenue(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -419,6 +461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_role_rates": _q_hourly_role_rates,
         # relational breadth (Spark built-ins; absent in reference §2.3)
         "tpch_q1": _q_tpch_q1,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q3": _q_tpch_q3,
         "mktsegment_revenue": _q_mktsegment_revenue,
         # percentiles / set ops / ranking / grouping sets (Spark extras)
         "percentile_latency": _q_percentile_latency,
@@ -622,6 +666,31 @@ SELECT c_mktsegment, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGI
        COUNT(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
+""",
+        "tpch_q6": """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * CAST(ROUND(l_discount * 10000) AS BIGINT)) AS BIGINT)
+         AS revenue_cents_bps,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate <  TIMESTAMP '1995-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+        "tpch_q3": """
+SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, epoch_us(o_orderdate), o_orderpriority
+ORDER BY revenue_cents DESC, o_orderdate_us, l_orderkey
+LIMIT 10
 """,
         "percentile_latency": C + """
 SELECT role, ROUND(quantile_cont(latency_s, 0.5), 6) AS p50,
