@@ -125,7 +125,9 @@ def main():
         F.octet_length("text") + F.octet_length("conv_id") + F.octet_length("role")
         + F.octet_length("tool") + F.lit(8 + 4))).collect()[0][0]
 
-    canon = canonicalize(raw).cache()
+    # conv-grain: balanced cache partitions for the query-serving canon
+    # (bucket grain would cap parallelism at n_buckets with hash lumps)
+    canon = canonicalize(raw, grain="conv").cache()
     canon.count()  # materialize outside the tier timing
     with timed("tier_cascade"):
         t1m = build_conv_tier(canon, MINUTE_MS)

@@ -102,7 +102,10 @@ class TranscriptTSDB:
         df = parts[0]
         for more in parts[1:]:
             df = df.unionByName(more)
-        self._canon_cache = canonicalize(df, n_buckets=self.n_buckets)
+        # conv grain: query-serving canon wants balanced partitions, not
+        # the encode path's bucket-clustered exchange
+        self._canon_cache = canonicalize(df, n_buckets=self.n_buckets,
+                                         grain="conv")
         return self._canon_cache
 
     def _tier(self) -> DataFrame:

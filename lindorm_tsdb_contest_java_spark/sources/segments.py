@@ -102,6 +102,7 @@ def canonicalize(
     n_buckets: int = DEFAULT_N_BUCKETS,
     chunk_us: int = DEFAULT_CHUNK_US,
     dedup: bool = True,
+    grain: str = "bucket",
 ) -> DataFrame:
     """Upsert-dedup + routing + derived metrics, all JVM-side built-ins.
 
@@ -110,29 +111,46 @@ def canonicalize(
     newest ts wins. Routing/zone columns are plain expressions so the
     whole stage stays in WholeStageCodegen.
 
-    ONE exchange serves the whole ingest path: the explicit repartition on
-    conv_bucket. Both window operators partition by supersets of
-    {conv_bucket} — and conv_bucket is a pure function of conv_id, so
-    partitionBy(conv_bucket, conv_id, ...) rows land exactly as
-    partitionBy(conv_id, ...) would — and hashpartitioning(conv_bucket)
-    satisfies their ClusteredDistribution (subset rule), so Catalyst
-    inserts only in-partition sorts. The downstream
-    groupBy(conv_bucket, time_chunk) in encode_segments reuses the same
-    partitioning: the full transcripts → segments plan has a single
-    shuffle (pinned by tests/test_plan_audit.py).
+    ONE exchange serves the whole path: the explicit repartition. Both
+    window operators partition by supersets of the repartition columns
+    (subset rule), so Catalyst inserts only in-partition sorts after it.
+
+    `grain` picks the exchange granularity — the write/read trade:
+    - "bucket": hashpartitioning(conv_bucket). The encode groupBy
+      (conv_bucket, time_chunk) ALSO reuses this exchange, so the whole
+      transcripts → segments plan is a single shuffle (pinned by
+      tests/test_plan_audit.py) — measured 2x encode throughput vs the
+      two-shuffle shape. Cost: at most n_buckets non-empty partitions
+      (lumpy under hash collisions when n_buckets is within ~4x of the
+      partition count) — exactly right for the write path, under-parallel
+      for a cached query-serving table.
+    - "conv": hashpartitioning(conv_id). Conversation granularity:
+      evenly balanced partitions AND — the important part — every
+      downstream per-conversation aggregate (latest's groupBy(conv_id),
+      the tier groupBys on (conv_id, bucket_ms)) sees its clustering
+      already satisfied, so those run EXCHANGE-FREE off the cached
+      canon. Encode over it would pay a second shuffle, so use it for
+      the READ canon (engine query serving, bench query cache), not for
+      encoding.
     """
     from pyspark.sql.window import Window
 
     # unix_micros over an NTZ cast is session-timezone-sensitive: pin UTC
     df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
 
+    if grain == "bucket":
+        part_cols = [F.col("conv_bucket")]
+    elif grain == "conv":
+        part_cols = [F.col("conv_id")]
+    else:
+        raise ValueError(f"unknown grain {grain!r} (bucket|conv)")
     out = (
         df.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
         .withColumn("text_len", F.length("text"))
         .withColumn("conv_bucket",
                     F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"))
         .withColumn("time_chunk", F.floor(F.col("ts_us") / F.lit(chunk_us)))
-        .repartition(F.col("conv_bucket"))
+        .repartition(*part_cols)
     )
     if dedup:
         w = Window.partitionBy("conv_bucket", "conv_id", "turn_idx").orderBy(

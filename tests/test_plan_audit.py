@@ -55,6 +55,16 @@ def test_encode_path_single_shuffle(transcripts_df):
     assert f.n_shuffles == 1, f.plan
 
 
+def test_conv_grain_serves_per_conv_aggregates_exchange_free(transcripts_df):
+    """The read-profile canon (grain='conv') is hashpartitioned on
+    conv_id, so latest's groupBy(conv_id) and the tier groupBy
+    (conv_id, bucket_ms) reuse that one exchange — no second shuffle."""
+    canon = canonicalize(transcripts_df, n_buckets=8, grain="conv")
+    assert facts(Q.latest(canon, None, ["ts_us"])).n_shuffles == 1
+    tier = build_conv_tier(canon)
+    assert facts(tier).n_shuffles == 1
+
+
 def test_downsample_no_global_sort_join(transcripts_df):
     canon = canonicalize(transcripts_df, n_buckets=8)
     ds = Q.downsample(canon, "conv-00000001", "text_len", 0, 10**12, 10**9,
