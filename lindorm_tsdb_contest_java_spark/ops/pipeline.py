@@ -162,8 +162,11 @@ class RollupPipeline:
         t0 = time.perf_counter()
         seg_table = self.table("segments")
         part = canon.filter(F.col("time_chunk").isin([int(c) for c in batch]))
+        # sort_within: bucket-ordered row groups inside every chunk file,
+        # so bucket-scoped reads prune to contiguous row groups
         snap = seg_table.overwrite_partitions_multi(
-            encode_segments(part), "time_chunk", [int(c) for c in batch])
+            encode_segments(part), "time_chunk", [int(c) for c in batch],
+            sort_within=["conv_bucket"])
         new_files = {}  # chunk -> [file names] written by THIS commit
         for f in snap.files:
             c = f["partition"].get("time_chunk")

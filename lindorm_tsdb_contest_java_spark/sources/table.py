@@ -137,13 +137,20 @@ class SnapshotTable:
 
     def overwrite_partitions_multi(
         self, df: DataFrame, partition_col: str, values: list,
-        meta: dict | None = None,
+        meta: dict | None = None, sort_within: list[str] | None = None,
     ) -> Snapshot:
         """Replace every listed partition value in ONE commit, fed by ONE
         distributed write (`partitionBy` on the partition column) — the
         N-chunk analog of overwrite_partitions, so a backfill over many
-        time chunks is a single Spark job, not a driver loop of jobs."""
-        files = self._materialize_spark_partitioned(df, partition_col)
+        time chunks is a single Spark job, not a driver loop of jobs.
+
+        sort_within orders rows inside each task by (partition, *cols)
+        before the write — no extra shuffle, but every output file's
+        parquet row groups come out range-ordered on those columns, so
+        column-stat pruning on them is contiguous (the range-partitioned
+        write layout the north_rule asks for)."""
+        files = self._materialize_spark_partitioned(df, partition_col,
+                                                    sort_within=sort_within)
         cur = self.current()
         gone = set(values)
         kept = [f for f in cur.files
@@ -219,7 +226,8 @@ class SnapshotTable:
         return files
 
     def _materialize_spark_partitioned(
-        self, df: DataFrame, partition_col: str) -> list[dict]:
+        self, df: DataFrame, partition_col: str,
+        sort_within: list[str] | None = None) -> list[dict]:
         """Distributed partitioned write: executors write part files under
         one `_pt=<value>` dir per partition value. The partition column is
         duplicated into `_pt` so the data files keep the original column
@@ -227,9 +235,11 @@ class SnapshotTable:
         cur_id = self.current().snapshot_id
         staging = os.path.join(self.root, f"_staging-snap{cur_id + 1}")
         shutil.rmtree(staging, ignore_errors=True)
-        (df.withColumn("_pt", df[partition_col])
-           .write.mode("overwrite").option("compression", "zstd")
-           .partitionBy("_pt").parquet(staging))
+        out = df.withColumn("_pt", df[partition_col])
+        if sort_within:
+            out = out.sortWithinPartitions("_pt", *sort_within)
+        (out.write.mode("overwrite").option("compression", "zstd")
+            .partitionBy("_pt").parquet(staging))
         files = []
         i = 0
         for d in sorted(os.listdir(staging)):
