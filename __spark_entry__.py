@@ -885,6 +885,8 @@ WITH toks AS (
   FROM documents
 )
 SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
+            AS BIGINT) AS n_tokens_bpe,
        ROUND(CASE WHEN len(tokens) > 0 THEN
          len(list_filter(tokens, t -> t IN ('the','a','of','and','to','in','is','it')))
            * 1.0 / len(tokens) ELSE 0.0 END, 6) AS stopword_ratio,

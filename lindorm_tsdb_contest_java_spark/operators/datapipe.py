@@ -480,16 +480,25 @@ def embedding_top_pairs(df: DataFrame, id_col: str = "vec_id",
 
 # ---------- text analysis ----------
 
+# BPE-ish subword segmentation: letter runs, digit runs, punctuation runs,
+# each optionally space-prefixed (the GPT-2 pre-tokenizer shape, simplified
+# to the character classes both regex engines treat identically)
+BPE_ISH_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
 def text_quality(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """Quality metrics: token count, stopword ratio, mean word length,
-    punctuation ratio — all built-in expressions."""
+    """Quality metrics: whitespace + BPE-ish token counts, stopword ratio,
+    mean word length, punctuation ratio — all built-in expressions."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit(""))
     n_tok = F.size(toks)
+    n_bpe = F.size(F.regexp_extract_all(F.col(text_col),
+                                        F.lit(BPE_ISH_PATTERN), F.lit(0)))
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     n_punct = F.length(F.regexp_replace(F.col(text_col), "[^.,;:!?]", ""))
     return df.select(
         F.col(id_col),
         n_tok.cast("long").alias("n_tokens"),
+        n_bpe.cast("long").alias("n_tokens_bpe"),
         F.round(F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0)), 6)
             .alias("stopword_ratio"),
         F.round(F.when(n_tok > 0,
