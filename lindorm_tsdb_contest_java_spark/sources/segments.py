@@ -242,6 +242,9 @@ def encode_segments(canonical: DataFrame,
     unbounded conversation. The salt changes segment boundaries only,
     never content ordering: decode+sort output is identical.
     """
+    # `ts` duplicates ts_us and the codecs never read it: dropping it
+    # here keeps 8 bytes/row out of the JVM->Python Arrow transfer
+    canonical = canonical.drop("ts")
     if max_rows_per_conv:
         salted = canonical.withColumn(
             "_seg_salt", F.floor(F.col("turn_idx") / F.lit(max_rows_per_conv)))
