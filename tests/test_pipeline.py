@@ -155,3 +155,21 @@ def test_incremental_append_reprocesses_only_changed_chunks(spark, transcripts_p
     clean = str(tmp_path / "incr_clean")
     RollupPipeline(spark, clean, n_buckets=8, chunk_us=CHUNK_US).run(full, input_snapshot=1)
     assert _hashes(spark, root) == _hashes(spark, clean)
+
+
+def test_chunk_files_are_bucket_ordered(spark, transcripts_df, tmp_path):
+    """sort_within=['conv_bucket'] must leave every chunk data file with
+    non-decreasing conv_bucket — the row-group layout bucket-scoped reads
+    prune contiguously."""
+    import pyarrow.parquet as pq
+    root = str(tmp_path / "ordered")
+    RollupPipeline(spark, root, n_buckets=8, chunk_us=CHUNK_US).run(
+        spark.createDataFrame(transcripts_df.toPandas()), input_snapshot=1)
+    seg = SnapshotTable.load(os.path.join(root, "segments"))
+    checked = 0
+    for f in seg.current().files:
+        col = pq.read_table(os.path.join(seg.data_dir, f["path"]),
+                            columns=["conv_bucket"])["conv_bucket"].to_numpy()
+        assert (col[1:] >= col[:-1]).all(), f["path"]
+        checked += 1
+    assert checked > 0
