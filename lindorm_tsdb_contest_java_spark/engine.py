@@ -37,7 +37,9 @@ from .operators.tiers import (
     MINUTE_MS, build_conv_tier, build_latest_tier, latest_from_tier,
 )
 from .plans.router import routed_aggregate, routed_downsample
-from .sources.segments import CANONICAL_COLUMNS, canonicalize, encode_segments
+from .sources.segments import (
+    CANONICAL_COLUMNS, canonicalize, encode_segments, time_range_from_segments,
+)
 from .sources.table import SnapshotTable
 
 AVG, MAX, EQUAL, GREATER = Q.AVG, Q.MAX, Q.EQUAL, Q.GREATER
@@ -127,6 +129,20 @@ class TranscriptTSDB:
 
     def execute_time_range_query(self, conv_id: str, lb_ms: int, ub_ms: int,
                                  columns: list[str] | None = None) -> DataFrame:
+        """Served from the compressed segment store when the committed
+        state is current — the reference's read path: shard routing +
+        block zone-map pruning + per-column lazy decode
+        (TSFileService.java:297-447). Buffered unflushed rows force the
+        memtable-visible raw path."""
+        if not self._buffer and self._segments.current().files:
+            # 'ts' is excluded on the default projection: the decoded view
+            # carries the exact ts_us micros (the reference API's long
+            # timestamp); the raw-path TimestampType ts is an NTZ parquet
+            # artifact the compressed store intentionally normalizes away
+            cols = columns or [c for c in CANONICAL_COLUMNS if c != "ts"]
+            return time_range_from_segments(
+                self._segments.read(self.spark), conv_id, lb_ms, ub_ms,
+                cols, n_buckets=self.n_buckets)
         return Q.time_range(self._canonical(), conv_id, lb_ms, ub_ms, columns)
 
     def execute_aggregate_query(self, conv_id: str, column: str, lb_ms: int,

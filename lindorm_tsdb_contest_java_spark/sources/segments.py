@@ -332,3 +332,44 @@ def decode_segments(segments: DataFrame, columns: list[str] | None = None) -> Da
 def with_ts(decoded: DataFrame) -> DataFrame:
     """Reattach a TimestampType view of ts_us."""
     return decoded.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+
+
+def time_range_from_segments(
+    segments: DataFrame,
+    conv_id: str,
+    lb_ms: int,
+    ub_ms: int,
+    columns: list[str] | None = None,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> DataFrame:
+    """Projected half-open range scan served from the COMPRESSED segment
+    store — the reference's actual read path (TSFileService.java:297-447:
+    route to the vin's shard, prune blocks by the index's min/max
+    timestamp, decompress only the requested columns of the surviving
+    blocks):
+
+    - shard routing: conv_bucket == pmod(xxhash64(conv_id), n_buckets),
+      constant-folded by Catalyst and pushed into the parquet scan;
+    - zone-map pruning: min_ts_us/max_ts_us overlap predicates, also
+      pushed down — non-overlapping segments are never read;
+    - lazy decode: only the requested columns' blobs are decompressed
+      (decode_segments column-list pushdown), then the exact row-level
+      [lb, ub) filter runs on the decoded rows (straddling-block rows).
+    """
+    columns = columns or ["conv_id", "turn_idx", "role", "text", "tool",
+                          "ts", "ts_us", "text_len", "latency_s"]
+    need = list(dict.fromkeys(
+        ["conv_id", "ts_us", *[c for c in columns if c != "ts"]]))
+    lb_us, ub_us = lb_ms * 1000, ub_ms * 1000
+    bucket = F.pmod(F.xxhash64(F.lit(conv_id)), F.lit(n_buckets)).cast("int")
+    pruned = segments.filter(
+        (F.col("conv_bucket") == bucket)
+        & (F.col("min_ts_us") < F.lit(ub_us))
+        & (F.col("max_ts_us") >= F.lit(lb_us)))
+    decoded = decode_segments(pruned, need)
+    if "ts" in columns:
+        decoded = with_ts(decoded)
+    return (decoded.filter((F.col("conv_id") == conv_id)
+                           & (F.col("ts_us") >= lb_us)
+                           & (F.col("ts_us") < ub_us))
+            .select(*columns))

@@ -121,3 +121,24 @@ def test_latest_served_from_tier_after_shutdown(spark, db, oracle_pdf):
     assert list(got["conv_id"]) == list(exp["conv_id"])
     assert list(got["turn_idx"]) == list(exp["turn_idx"])
     assert list(got["ts_us"]) == list(exp["ts_us"])
+
+
+def test_time_range_served_from_segments_with_pruning(spark, db, oracle_pdf):
+    """Post-flush, execute_time_range_query reads the COMPRESSED segment
+    store: shard-routing + zone-map predicates pushed into the parquet
+    scan (TSFileService.java:297-447 analog), answers identical to the
+    raw-scan oracle."""
+    db.shutdown()
+    reopened = eng.connect(spark, db.root, n_buckets=8)
+    lb = int(oracle_pdf[oracle_pdf["conv_id"] == HOT]["ts_us"].min() // 1000)
+    ub = lb + 6 * 3_600_000
+    cols = ["conv_id", "turn_idx", "text", "ts_us"]
+    out = reopened.execute_time_range_query(HOT, lb, ub, cols)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "/segments/" in plan and "/raw/" not in plan
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "conv_bucket" in pushed and "min_ts_us" in pushed, pushed
+    got = out.toPandas().sort_values("ts_us").reset_index(drop=True)
+    exp = oracle_time_range(oracle_pdf, HOT, lb, ub, cols) \
+        .sort_values("ts_us").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
