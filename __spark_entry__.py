@@ -392,6 +392,14 @@ def _q_embedding_top_pairs(spark, sf_dir):
     return _round(out, ["cosine"], 4)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = DP.ivf_topk(emb.filter(F.col("vec_id") > 0), qvec, k=10,
+                      centroid_rate=100, n_probe=2)
+    return _round(out, ["cosine"], 4)
+
+
 def _q_embedding_lsh_pairs(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     dim = len(emb.first()["embedding"])
@@ -414,6 +422,10 @@ def _q_lang_guess(spark, sf_dir):
 
 def _q_fingerprint(spark, sf_dir):
     return DP.fingerprint(_docs(spark, sf_dir), "doc_id").select("doc_id", "fingerprint")
+
+
+def _q_winnow_fingerprint(spark, sf_dir):
+    return DP.winnow_fingerprint(_docs(spark, sf_dir), "doc_id")
 
 
 def _q_multimodal_meta(spark, sf_dir):
@@ -477,12 +489,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_groups": _q_simhash,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "embedding_top_pairs": _q_embedding_top_pairs,
         "embedding_lsh_pairs": _q_embedding_lsh_pairs,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "text_quality": _q_text_quality,
         "lang_guess": _q_lang_guess,
         "fingerprint": _q_fingerprint,
+        "winnow_fingerprint": _q_winnow_fingerprint,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_features": _q_multimodal_features,
         "segment_roundtrip": _q_segment_roundtrip,
@@ -824,6 +838,26 @@ LIMIT 10
 SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text, ts_us
 FROM canonical
 """,
+        "ann_ivf_topk": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id > 0),
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+assigned AS (
+  SELECT e.vec_id, e.v, cents.cent_id AS cell
+  FROM e, cents
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+    ORDER BY list_distance(e.v, cents.cv), cents.cent_id) = 1
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT cent_id FROM cents, q
+  QUALIFY ROW_NUMBER() OVER (ORDER BY list_distance(cv, qv), cent_id) <= 2
+)
+SELECT vec_id, cell, ROUND(list_cosine_similarity(v, q.qv), 4) AS cosine
+FROM assigned, q
+WHERE cell IN (SELECT cent_id FROM probes)
+ORDER BY list_cosine_similarity(v, q.qv) DESC, vec_id
+LIMIT 10
+""",
         "embedding_lsh_pairs": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 planes AS (
@@ -913,6 +947,25 @@ FROM documents
 SELECT doc_id,
        md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
 FROM documents
+""",
+        "winnow_fingerprint": """
+WITH norm AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         CAST(greatest(floor((length(t) - 16) / 8) + 1, 0) AS INTEGER) AS n,
+         t
+  FROM norm
+)
+SELECT doc_id,
+       COALESCE(list_min(list_transform(
+         CASE WHEN n > 0 THEN range(0, n) ELSE [] END,
+         i -> CAST('0x' || substr(md5(substr(t, CAST(i * 8 + 1 AS INTEGER), 16)), 1, 12) AS BIGINT)
+       )), 0) AS winnow_min,
+       CAST(n AS BIGINT) AS n_windows
+FROM wins
 """,
         "multimodal_meta": """
 SELECT CAST(doc_id AS BIGINT) AS media_id,

@@ -456,6 +456,46 @@ def embedding_lsh_pairs(df: DataFrame, dim: int, id_col: str = "vec_id",
     )
 
 
+def ivf_topk(df: DataFrame, qvec: list[float], id_col: str = "vec_id",
+             vec_col: str = "embedding", k: int = 10,
+             centroid_rate: int = 100, n_probe: int = 2) -> DataFrame:
+    """IVF-flat ANN: coarse cells from deterministically sampled centroids
+    (every centroid_rate-th id — no iterative k-means, SQL-reproducible),
+    vectors assigned to their nearest centroid, search probes only the
+    n_probe cells nearest the query. The scale shape: the build is one
+    broadcast pass (|n| x |n|/centroid_rate distance evaluations, the
+    standard IVF build cost), the cell id is a partition-prunable column,
+    and a query touches ~n_probe/|cells| of the data. Recall < 1 by
+    construction; cosine values of returned rows are exact."""
+    v = F.col(vec_col).cast("array<double>")
+    cents = (df.filter(F.col(id_col) % centroid_rate == 0)
+             .select(F.col(id_col).alias("cent_id"), v.alias("cv")))
+    dist2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    assigned = (
+        df.select(F.col(id_col), v.alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .groupBy(id_col, "v")
+        .agg(F.min_by(F.col("cent_id"),
+                      F.struct(dist2.alias("d"), F.col("cent_id"))).alias("cell"))
+    )
+    # probe cells: nearest centroids to q, computed driver-side over the
+    # tiny centroid set (the oracle ranks the same centroids in SQL)
+    cent_rows = cents.collect()
+    qa = np.asarray(qvec, dtype=np.float64)
+    ranked = sorted(((float(np.sum((np.asarray(r["cv"]) - qa) ** 2)), r["cent_id"])
+                     for r in cent_rows))
+    probes = [cid for _, cid in ranked[:n_probe]]
+    return (
+        assigned.filter(F.col("cell").isin(probes))
+        .withColumn("cosine", _cosine(F.col("v"), qvec))
+        .select(id_col, "cell", "cosine")
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_top_pairs(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding", limit_ids: int = 200,
                         k: int = 20) -> DataFrame:
@@ -533,4 +573,29 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     return df.select(
         F.col(id_col), h.alias("fingerprint"),
         F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("fingerprint60"),
+    )
+
+
+def winnow_fingerprint(df: DataFrame, id_col: str, text_col: str = "text",
+                       k: int = 16, stride: int = 8) -> DataFrame:
+    """Rolling-window document fingerprint (winnowing-style): hash every
+    k-char window sampled at `stride` over the normalized text, keep the
+    MINIMUM window hash plus the window count — robust to local edits
+    outside the minimizing window (two docs sharing their rarest k-gram
+    collide), cheap to compare at scale (one int64 per doc). All JVM
+    expressions: substring windows via transform over a sequence, one md5
+    per window; SQL twin in the driver oracle."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), "\\s+", " "))
+    n_wins = F.greatest(
+        F.floor((F.length(norm) - k) / stride) + 1, F.lit(0)).cast("int")
+    # sequence(0, -1) would generate a DESCENDING [0, -1]: guard empties
+    starts = F.when(n_wins > 0, F.sequence(F.lit(0), n_wins - 1)) \
+              .otherwise(F.array().cast("array<int>"))
+    # Column.substr accepts column start/len (F.substring is literal-only)
+    hashes = F.transform(starts,
+                         lambda i: _h48(norm.substr(i * stride + 1, F.lit(k))))
+    return df.select(
+        F.col(id_col),
+        F.coalesce(F.array_min(hashes), F.lit(0)).alias("winnow_min"),
+        n_wins.cast("long").alias("n_windows"),
     )

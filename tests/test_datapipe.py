@@ -155,3 +155,35 @@ def test_embedding_lsh_pairs_are_real_cosines(spark):
     top = out.iloc[0]
     assert (top["id_a"], top["id_b"]) == (0, 200)
     assert top["cosine"] > 0.999
+
+
+def test_winnow_fingerprint_robust_to_distant_edits(spark):
+    """Two docs differing far from the minimizing window share winnow_min;
+    empty docs get the 0 sentinel."""
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    edited = base[:-10] + "CHANGED!!!"  # tail edit
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [base, edited, ""]}))
+    out = DP.winnow_fingerprint(df, "doc_id").toPandas().set_index("doc_id")
+    assert out.loc[1, "n_windows"] > 10
+    assert out.loc[3, "winnow_min"] == 0 and out.loc[3, "n_windows"] == 0
+    # identical prefixes dominate the window set; min very likely shared
+    assert out.loc[1, "winnow_min"] == out.loc[2, "winnow_min"]
+
+
+def test_ivf_topk_cosines_match_bruteforce(spark):
+    rng = np.random.default_rng(31)
+    vecs = rng.normal(size=(500, 16))
+    pdf = pd.DataFrame({"vec_id": range(500), "embedding": list(vecs)})
+    df = spark.createDataFrame(pdf)
+    q = [float(x) for x in vecs[0]]
+    sub = df.filter("vec_id > 0")
+    ivf = DP.ivf_topk(sub, q, k=10, centroid_rate=50, n_probe=3).toPandas()
+    brute = DP.cosine_topk(sub, q, k=500).toPandas()
+    bmap = dict(zip(brute["vec_id"], brute["cosine"]))
+    assert len(ivf) == 10
+    for r in ivf.itertuples():  # returned cosines are exact
+        assert abs(bmap[r.vec_id] - r.cosine) < 1e-9
+    # probing 3 of ~10 cells recalls a decent share of the true top-10
+    top10 = set(brute["vec_id"].iloc[:10])
+    assert len(set(ivf["vec_id"]) & top10) >= 2
