@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from ..functions.tdigest import tdigest_build, tdigest_merge
+from ..functions.tdigest import tdigest_build, tdigest_merge, tdigest_quantile
 
 MINUTE_MS = 60_000
 HOUR_MS = 3_600_000
@@ -172,6 +172,35 @@ def rollup_rate_tier(tier: DataFrame, width_ms: int) -> DataFrame:
 
 def turn_rate(tier: DataFrame, width_ms: int) -> DataFrame:
     return tier.withColumn("turns_per_s", F.col("n_turns") / F.lit(width_ms / 1000.0))
+
+
+def tier_percentiles(tier: DataFrame, lb_ms: int, ub_ms: int,
+                     qs: tuple = (0.5, 0.9, 0.99)) -> DataFrame:
+    """Latency percentiles for [lb, ub) served ENTIRELY from the rate
+    tier's t-digest sketches — the read side of the north-star
+    'percentiles via t-digest cascading through tiers': merge the
+    per-bucket digests of the covered range per (role, tool) and
+    interpolate the quantiles. Never touches raw turns; input volume is
+    tier rows (one per role x tool x bucket), so a year-long percentile
+    query over 10^12 turns reads ~minutes-granularity sketches only."""
+    import numpy as np
+    import pandas as pd
+
+    qcols = [f"p{str(q).replace('0.', '')}" for q in qs]
+    schema = ("role string, tool string, n_turns bigint, "
+              + ", ".join(f"{c} double" for c in qcols))
+    scoped = tier.filter((F.col("bucket_ms") >= lb_ms)
+                         & (F.col("bucket_ms") < ub_ms))
+
+    def agg(key, pdf):
+        blob = tdigest_merge([bytes(b) for b in pdf["latency_digest"]])
+        vals = tdigest_quantile(blob, np.asarray(qs, dtype=np.float64))
+        row = {"role": key[0], "tool": key[1],
+               "n_turns": int(pdf["n_turns"].sum())}
+        row.update({c: float(v) for c, v in zip(qcols, vals)})
+        return pd.DataFrame([row])
+
+    return scoped.groupBy("role", "tool").applyInPandas(agg, schema)
 
 
 # ---------- gap-fill ----------

@@ -137,3 +137,31 @@ def test_tdigest_quantile_accuracy_uniform():
 def test_tdigest_empty_and_single():
     assert np.isnan(tdigest_quantile(tdigest_build(np.array([])), 0.5))
     assert tdigest_quantile(tdigest_build(np.array([7.0])), 0.9) == 7.0
+
+
+def test_tier_percentiles_close_to_exact(spark, transcripts_df):
+    """Percentile reads served from merged tier t-digests track the exact
+    quantiles of the raw latencies (the read side of the sketch cascade)."""
+    import numpy as np
+    from lindorm_tsdb_contest_java_spark.operators.tiers import (
+        build_rate_tier, rollup_rate_tier, tier_percentiles,
+    )
+    from lindorm_tsdb_contest_java_spark.sources.segments import canonicalize
+
+    canon = canonicalize(transcripts_df, n_buckets=8, grain="conv").cache()
+    tier_1m = build_rate_tier(canon, 60_000)
+    tier_1h = rollup_rate_tier(tier_1m, 3_600_000)
+    lo = canon.agg(F.min("ts_us")).collect()[0][0] // 1000
+    hi = canon.agg(F.max("ts_us")).collect()[0][0] // 1000 + 1
+    got = tier_percentiles(tier_1h, lo - 3_600_000, hi + 3_600_000,
+                           qs=(0.5, 0.9)).toPandas()
+    raw = canon.select("role", "tool", "latency_s").toPandas()
+    assert len(got) > 0
+    for r in got.itertuples():
+        lat = raw[(raw["role"] == r.role) & (raw["tool"] == r.tool)]["latency_s"]
+        assert r.n_turns == len(lat)
+        for q, est in ((0.5, r.p5), (0.9, r.p9)):
+            # rank-space accuracy: the estimate's true rank is within 2%
+            rank = (lat.to_numpy() <= est).mean()
+            assert abs(rank - q) < 0.02, (r.role, r.tool, q, est, rank)
+    canon.unpersist()
