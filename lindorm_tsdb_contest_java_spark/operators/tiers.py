@@ -136,37 +136,78 @@ _RATE_TIER_SCHEMA = (
 )
 
 
-def build_rate_tier(canonical: DataFrame, width_ms: int = MINUTE_MS) -> DataFrame:
-    """One applyInPandas per (role, tool, bucket): JVM-decomposable sums
-    and the t-digest are built in the same single shuffle (a grouped-agg
-    pandas UDF cannot mix with JVM aggregates in one agg)."""
+def build_rate_tier(canonical: DataFrame, width_ms: int = MINUTE_MS,
+                    buckets_per_group: int = 256) -> DataFrame:
+    """Sums + t-digest per (role, tool, bucket) in one shuffle (a
+    grouped-agg pandas UDF cannot mix with JVM aggregates in one agg).
+
+    Grouping is by (role, tool, COARSE window of buckets_per_group
+    buckets), not per bucket: one Arrow call emits up to
+    buckets_per_group tier rows, with the per-bucket split done by a
+    vectorized sort + reduceat inside. Per-group pandas overhead is
+    ~0.5 ms — per-minute groups would pay it millions of times per year
+    of data (group count is fixed by the calendar, so small inputs are
+    pure overhead); the coarse grouping amortizes it 256x while keeping
+    group size bounded (skew-safe) at any scale."""
+    import numpy as np
+
+    coarse_us = width_ms * 1000 * buckets_per_group
 
     def agg(key, pdf):
-        lat = pdf["latency_s"].to_numpy()
-        return pd.DataFrame([{
-            "role": key[0], "tool": key[1], "bucket_ms": key[2],
-            "n_turns": len(pdf),
-            "latency_sum": float(lat.sum()),
-            "latency_digest": tdigest_build(lat),
-        }])
+        b = pdf["bucket_ms"].to_numpy(np.int64)
+        order = np.argsort(b, kind="stable")
+        b = b[order]
+        lat = pdf["latency_s"].to_numpy(np.float64)[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(b)) + 1]
+        ends = np.r_[starts[1:], len(b)]
+        sums = np.add.reduceat(lat, starts)
+        return pd.DataFrame({
+            "role": key[0], "tool": key[1],
+            "bucket_ms": b[starts],
+            "n_turns": (ends - starts).astype(np.int64),
+            "latency_sum": sums,
+            "latency_digest": [tdigest_build(lat[s:e])
+                               for s, e in zip(starts, ends)],
+        })
 
     return (canonical.withColumn("bucket_ms", _bucket(width_ms))
-            .groupBy("role", "tool", "bucket_ms")
+            .withColumn("_cg", F.floor(F.col("ts_us") / F.lit(coarse_us)))
+            .groupBy("role", "tool", "_cg")
             .applyInPandas(agg, schema=_RATE_TIER_SCHEMA))
 
 
-def rollup_rate_tier(tier: DataFrame, width_ms: int) -> DataFrame:
+def rollup_rate_tier(tier: DataFrame, width_ms: int,
+                     buckets_per_group: int = 256) -> DataFrame:
+    """Cascade merge with the same coarse-group amortization as
+    build_rate_tier: one Arrow call merges up to buckets_per_group
+    target buckets."""
+    import numpy as np
+
+    coarse_group = width_ms * buckets_per_group
+
     def merge(key, pdf):
-        return pd.DataFrame([{
-            "role": key[0], "tool": key[1], "bucket_ms": key[2],
-            "n_turns": int(pdf["n_turns"].sum()),
-            "latency_sum": float(pdf["latency_sum"].sum()),
-            "latency_digest": tdigest_merge([bytes(b) for b in pdf["latency_digest"]]),
-        }])
+        b = pdf["bucket_ms"].to_numpy(np.int64)
+        order = np.argsort(b, kind="stable")
+        pdf = pdf.iloc[order]
+        b = b[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(b)) + 1]
+        ends = np.r_[starts[1:], len(b)]
+        blobs = pdf["latency_digest"].to_numpy(object)
+        return pd.DataFrame({
+            "role": key[0], "tool": key[1],
+            "bucket_ms": b[starts],
+            "n_turns": np.add.reduceat(pdf["n_turns"].to_numpy(np.int64), starts),
+            "latency_sum": np.add.reduceat(
+                pdf["latency_sum"].to_numpy(np.float64), starts),
+            "latency_digest": [
+                tdigest_merge([bytes(x) for x in blobs[s:e]])
+                for s, e in zip(starts, ends)],
+        })
 
     coarse = (F.floor(F.col("bucket_ms") / F.lit(width_ms)) * F.lit(width_ms))
     return (tier.withColumn("bucket_ms", coarse)
-            .groupBy("role", "tool", "bucket_ms")
+            .withColumn("_cg", F.floor(F.col("bucket_ms") / F.lit(coarse_group)))
+            .groupBy("role", "tool", "_cg")
             .applyInPandas(merge, schema=_RATE_TIER_SCHEMA))
 
 

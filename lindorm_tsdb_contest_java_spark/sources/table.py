@@ -236,6 +236,12 @@ class SnapshotTable:
         staging = os.path.join(self.root, f"_staging-snap{cur_id + 1}")
         shutil.rmtree(staging, ignore_errors=True)
         out = df.withColumn("_pt", df[partition_col])
+        # AQE rebalance on the partition value (what Iceberg's Spark writer
+        # does): clusters rows by partition AND splits oversized partitions
+        # to the advisory size — without it every upstream task writes one
+        # file into every partition dir (tasks x partitions tiny files;
+        # measured ~1000 files/table and ~30 ms commit overhead each here)
+        out = out.hint("rebalance", "_pt")
         if sort_within:
             out = out.sortWithinPartitions("_pt", *sort_within)
         (out.write.mode("overwrite").option("compression", "zstd")
