@@ -152,7 +152,10 @@ class SnapshotTable:
         files = self._materialize_spark_partitioned(df, partition_col,
                                                     sort_within=sort_within)
         cur = self.current()
-        gone = set(values)
+        # replaced set = listed values UNION values actually written: a df
+        # carrying an unlisted partition value must replace that partition
+        # too, never silently duplicate it alongside the old files
+        gone = set(values) | {f["partition"][partition_col] for f in files}
         kept = [f for f in cur.files
                 if f.get("partition", {}).get(partition_col) not in gone]
         return self._commit(
