@@ -407,6 +407,11 @@ def _q_embedding_lsh_pairs(spark, sf_dir):
                   ["cosine"], 4)
 
 
+# banding plan shared by the Spark query and the DuckDB oracle (exhaustive
+# at max_hamming=6: 8 bands of 6 bits — pigeonhole needs n_bands >= h + 1)
+_SH_BANDS, _SH_WIDTH = DP.simhash_band_plan(6)
+
+
 def _q_simhash_near_pairs(spark, sf_dir):
     return DP.simhash_near_pairs(_docs_with_dups(spark, sf_dir), "doc_id",
                                  max_hamming=6)
@@ -882,8 +887,9 @@ LIMIT 20
 hs AS (SELECT doc_id, {DP.SIMHASH_HS_SQL} AS hs FROM docs2),
 sh AS (SELECT doc_id, {DP.simhash_oracle_terms('hs')} AS simhash FROM hs),
 bandex AS (
-  SELECT doc_id, simhash, b, (simhash >> (b * 12)) & 4095 AS key
-  FROM sh, (SELECT unnest(range(0, 4)) AS b)
+  SELECT doc_id, simhash, b,
+         (simhash >> (b * {_SH_WIDTH})) & {(1 << _SH_WIDTH) - 1} AS key
+  FROM sh, (SELECT unnest(range(0, {_SH_BANDS})) AS b)
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,

@@ -134,16 +134,18 @@ class TranscriptTSDB:
         block zone-map pruning + per-column lazy decode
         (TSFileService.java:297-447). Buffered unflushed rows force the
         memtable-visible raw path."""
+        # 'ts' is excluded on the default projection: the decoded view
+        # carries the exact ts_us micros (the reference API's long
+        # timestamp); the raw-path TimestampType ts is an NTZ parquet
+        # artifact the compressed store intentionally normalizes away.
+        # The SAME default applies on both branches so the result schema
+        # is independent of flush state (ADVICE r02).
+        cols = columns or [c for c in CANONICAL_COLUMNS if c != "ts"]
         if not self._buffer and self._segments.current().files:
-            # 'ts' is excluded on the default projection: the decoded view
-            # carries the exact ts_us micros (the reference API's long
-            # timestamp); the raw-path TimestampType ts is an NTZ parquet
-            # artifact the compressed store intentionally normalizes away
-            cols = columns or [c for c in CANONICAL_COLUMNS if c != "ts"]
             return time_range_from_segments(
                 self._segments.read(self.spark), conv_id, lb_ms, ub_ms,
                 cols, n_buckets=self.n_buckets)
-        return Q.time_range(self._canonical(), conv_id, lb_ms, ub_ms, columns)
+        return Q.time_range(self._canonical(), conv_id, lb_ms, ub_ms, cols)
 
     def execute_aggregate_query(self, conv_id: str, column: str, lb_ms: int,
                                 ub_ms: int, agg: str) -> DataFrame:

@@ -22,6 +22,14 @@ needs no sequential token walk; the legacy interleaved bitstream keeps a
 sequential fallback reader for foreign streams).
 """
 
+# Wire-format version of the segment blob codecs. Bump on ANY incompatible
+# blob-layout change; the rollup pipeline salts its chunk fingerprints with
+# this (ops/pipeline.py) so segments written by an older version are
+# REBUILT on the next run instead of misparsed (ADVICE r02), and segment
+# snapshot commits record it in their meta for provenance.
+#  v3: mode-byte int codec + 1/2/4-bit-packed dictionary codes
+CODEC_VERSION = 3
+
 from .varint import (
     zigzag_encode, zigzag_decode, varint_encode, varint_decode, varint_size,
 )
@@ -31,6 +39,7 @@ from .strings import dict_encode, dict_decode, text_encode, text_decode
 from .framing import zstd_compress, zstd_decompress
 
 __all__ = [
+    "CODEC_VERSION",
     "zigzag_encode", "zigzag_decode", "varint_encode", "varint_decode",
     "varint_size",
     "dod_encode", "dod_decode", "int_encode", "int_decode",

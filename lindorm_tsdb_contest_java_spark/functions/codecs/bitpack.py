@@ -1,0 +1,57 @@
+"""Vectorized 1/2/4-bit code packing for dictionary codes.
+
+Capability analog of the reference's low-cardinality bit packing
+(`compress/StringCompress.java:129-250`: <=2 distinct values -> 1 bit per
+code, <=4 -> 2 bits), generalized to {1,2,4}-bit widths and implemented as
+pure numpy reshapes — no per-element Python. A dictionary column with 3
+distinct values costs 0.25 bytes/row pre-zstd instead of the 1 byte/row a
+varint code stream pays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+PACK_WIDTHS = (1, 2, 4)  # bits per code; 0 means "varint fallback"
+
+
+def width_for(max_code: int) -> int:
+    """Smallest packable width for codes in [0, max_code]; 0 = not packable
+    (use varints). max_code < 0 (empty) packs at width 1 trivially."""
+    for w in PACK_WIDTHS:
+        if max_code < (1 << w):
+            return w
+    return 0
+
+
+def packed_size(n: int, width: int) -> int:
+    per = 8 // width
+    return (n + per - 1) // per
+
+
+def pack_codes(codes: np.ndarray, width: int) -> bytes:
+    """uint codes < 2^width -> packed bytes, little-endian within a byte
+    (code i occupies bits [ (i % per)*width , ... ) of byte i // per)."""
+    assert width in PACK_WIDTHS
+    c = np.ascontiguousarray(codes, dtype=np.uint8)
+    per = 8 // width
+    n = c.size
+    padded = np.zeros(packed_size(n, width) * per, dtype=np.uint8)
+    padded[:n] = c
+    grid = padded.reshape(-1, per)
+    out = np.zeros(grid.shape[0], dtype=np.uint8)
+    for i in range(per):
+        out |= grid[:, i] << np.uint8(i * width)
+    return out.tobytes()
+
+
+def unpack_codes(buf: bytes, n: int, width: int) -> np.ndarray:
+    """packed bytes -> int64 codes of length n."""
+    assert width in PACK_WIDTHS
+    per = 8 // width
+    b = np.frombuffer(buf, dtype=np.uint8)
+    mask = np.uint8((1 << width) - 1)
+    out = np.empty(b.size * per, dtype=np.uint8)
+    for i in range(per):
+        out[i::per] = (b >> np.uint8(i * width)) & mask
+    return out[:n].astype(np.int64)

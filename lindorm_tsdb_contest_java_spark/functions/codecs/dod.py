@@ -29,6 +29,7 @@ import struct
 
 import numpy as np
 
+from .bitpack import pack_codes, packed_size, unpack_codes, width_for
 from .framing import pack_sections, unpack_sections, zstd_compress, zstd_decompress
 from .varint import (
     varint_decode, varint_encode, varint_size, zigzag_decode, zigzag_encode,
@@ -96,14 +97,19 @@ def int_encode(values: np.ndarray) -> bytes:
     }
     uniq, codes = np.unique(v, return_inverse=True)
     zz_uduniq = None
+    pack_w = 0
     if uniq.size <= max(16, n // 4):
         ud = np.empty(uniq.size, dtype=np.int64)
         ud[0] = uniq[0]
         np.subtract(uniq[1:], uniq[:-1], out=ud[1:])
         zz_uduniq = zigzag_encode(ud)
-        sizes[MODE_DICT] = (varint_size(np.asarray([uniq.size], np.uint64))
-                            + varint_size(zz_uduniq)
-                            + varint_size(codes.astype(np.uint64)))
+        # 1/2/4-bit packed codes when cardinality permits (the reference's
+        # StringCompress.java:129-250 trick), varints otherwise
+        pack_w = width_for(int(uniq.size) - 1)
+        code_bytes = (packed_size(n, pack_w) if pack_w
+                      else varint_size(codes.astype(np.uint64)))
+        sizes[MODE_DICT] = (varint_size(np.asarray([uniq.size, pack_w], np.uint64))
+                            + varint_size(zz_uduniq) + code_bytes)
     mode = min(sizes, key=sizes.get)
 
     if mode == MODE_RAW:
@@ -111,9 +117,10 @@ def int_encode(values: np.ndarray) -> bytes:
         return bytes([mode]) + _HDR.pack(n) + zstd_compress(payload)
     if mode == MODE_DICT:
         payload = pack_sections(
-            varint_encode(np.asarray([uniq.size], np.uint64)),
+            varint_encode(np.asarray([uniq.size, pack_w], np.uint64)),
             varint_encode(zz_uduniq),
-            varint_encode(codes.astype(np.uint64)),
+            pack_codes(codes, pack_w) if pack_w
+            else varint_encode(codes.astype(np.uint64)),
         )
         return bytes([mode]) + _HDR.pack(n) + zstd_compress(payload)
     stream = zz_delta if mode == MODE_DELTA else zz_dod
@@ -123,16 +130,27 @@ def int_encode(values: np.ndarray) -> bytes:
 
 def int_decode(blob: bytes) -> np.ndarray:
     mode = blob[0]
+    if mode > MODE_DICT:
+        # strict: an unknown mode byte means a foreign/stale blob (e.g. a
+        # pre-mode-byte dod stream, whose leading u64 n aliases this byte).
+        # Falling through to a delta parse would decode garbage (ADVICE
+        # r02) — fail loudly; stale segments are rebuilt via the pipeline's
+        # CODEC_VERSION-salted fingerprints.
+        raise ValueError(
+            f"unknown int codec mode {mode}: not an int_encode blob "
+            "(legacy dod_encode streams must be decoded with dod_decode; "
+            "re-encode segments written by an older codec version)")
     (n,) = _HDR.unpack_from(blob, 1)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
     if mode == MODE_RAW:
         return zigzag_decode(varint_decode(zstd_decompress(blob[9:]), n))
     if mode == MODE_DICT:
-        nu_b, ud_b, codes_b = unpack_sections(zstd_decompress(blob[9:]), 3)
-        nu = int(varint_decode(nu_b, 1)[0])
+        hdr_b, ud_b, codes_b = unpack_sections(zstd_decompress(blob[9:]), 3)
+        nu, pack_w = (int(x) for x in varint_decode(hdr_b, 2))
         uniq = np.cumsum(zigzag_decode(varint_decode(ud_b, nu)))
-        codes = varint_decode(codes_b, n).astype(np.int64)
+        codes = (unpack_codes(codes_b, n, pack_w) if pack_w
+                 else varint_decode(codes_b, n).astype(np.int64))
         return uniq[codes]
     (first,) = _I64.unpack_from(blob, 9)
     if n == 1:

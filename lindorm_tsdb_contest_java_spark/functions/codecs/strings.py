@@ -19,12 +19,27 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .bitpack import pack_codes, unpack_codes, width_for
 from .framing import pack_sections, unpack_sections, zstd_compress, zstd_decompress
 from .varint import varint_decode, varint_encode
 
 _HDR = struct.Struct("<BQ")  # mode, n
 _MODE_RAW = 0
 _MODE_DICT = 1
+
+
+def _encode_dict_codes(codes: np.ndarray, n_uniq: int) -> tuple[bytes, int]:
+    """(codes section, pack width): 1/2/4-bit packed when cardinality
+    permits (StringCompress.java:129-250 analog), varints otherwise."""
+    w = width_for(n_uniq - 1)
+    if w:
+        return pack_codes(codes, w), w
+    return varint_encode(codes.astype(np.uint64)), 0
+
+
+def _decode_dict_codes(codes_b: bytes, n: int, pack_w: int) -> np.ndarray:
+    return (unpack_codes(codes_b, n, pack_w) if pack_w
+            else varint_decode(codes_b, n).astype(np.int64))
 
 
 def _utf8_lengths_and_data(values) -> tuple[np.ndarray, bytes]:
@@ -106,17 +121,19 @@ def dict_decode_arrow(blob: bytes) -> pa.Array:
     mode, n = _HDR.unpack_from(blob, 0)
     if mode == _MODE_RAW:
         return text_decode_arrow(blob)
+    if mode != _MODE_DICT:
+        raise ValueError(f"unknown string codec mode {mode}")
     if n == 0:
         return pa.array([], type=pa.string())
     payload = zstd_decompress(blob[_HDR.size :])
-    n_uniq_blob, lens_blob, data, codes_blob = unpack_sections(payload, 4)
-    n_uniq = int(varint_decode(n_uniq_blob, 1)[0])
+    hdr_blob, lens_blob, data, codes_blob = unpack_sections(payload, 4)
+    n_uniq, pack_w = (int(x) for x in varint_decode(hdr_blob, 2))
     lengths = varint_decode(lens_blob, n_uniq).astype(np.int32)
     offsets = np.zeros(n_uniq + 1, dtype=np.int32)
     np.cumsum(lengths, out=offsets[1:])
     uniques = pa.StringArray.from_buffers(
         n_uniq, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data))
-    codes = varint_decode(codes_blob, n).astype(np.int32)
+    codes = _decode_dict_codes(codes_blob, n, pack_w).astype(np.int32)
     return pc.take(uniques, pa.array(codes))
 
 
@@ -139,11 +156,12 @@ def dict_encode(values, level: int = 3, max_card_frac: float = 0.5) -> bytes:
         if n > 0 and len(uniques_arr) > max(4, int(n * max_card_frac)):
             return text_encode(arr, level)
         lengths, data = _utf8_lengths_and_data(uniques_arr)
+        codes_b, pack_w = _encode_dict_codes(codes, len(uniques_arr))
         payload = pack_sections(
-            varint_encode(np.asarray([len(uniques_arr)], dtype=np.uint64)),
+            varint_encode(np.asarray([len(uniques_arr), pack_w], dtype=np.uint64)),
             varint_encode(lengths.astype(np.uint64)),
             data,
-            varint_encode(codes.astype(np.uint64)),
+            codes_b,
         )
         return _HDR.pack(_MODE_DICT, n) + zstd_compress(payload, level)
     codes, uniques = pd.factorize(pd.Series(values, dtype=object), sort=False)
@@ -151,11 +169,12 @@ def dict_encode(values, level: int = 3, max_card_frac: float = 0.5) -> bytes:
     if n > 0 and len(uniques) > max(4, int(n * max_card_frac)):
         return text_encode(values, level)
     lengths, data = _utf8_lengths_and_data(uniques.astype(object))
+    codes_b, pack_w = _encode_dict_codes(codes, len(uniques))
     payload = pack_sections(
-        varint_encode(np.asarray([len(uniques)], dtype=np.uint64)),
+        varint_encode(np.asarray([len(uniques), pack_w], dtype=np.uint64)),
         varint_encode(lengths.astype(np.uint64)),
         data,
-        varint_encode(codes.astype(np.uint64)),
+        codes_b,
     )
     return _HDR.pack(_MODE_DICT, n) + zstd_compress(payload, level)
 
@@ -164,16 +183,18 @@ def dict_decode(blob: bytes) -> np.ndarray:
     mode, n = _HDR.unpack_from(blob, 0)
     if mode == _MODE_RAW:
         return text_decode(blob)
+    if mode != _MODE_DICT:
+        raise ValueError(f"unknown string codec mode {mode}")
     if n == 0:
         return np.zeros(0, dtype=object)
     payload = zstd_decompress(blob[_HDR.size :])
-    n_uniq_blob, lens_blob, data, codes_blob = unpack_sections(payload, 4)
-    n_uniq = int(varint_decode(n_uniq_blob, 1)[0])
+    hdr_blob, lens_blob, data, codes_blob = unpack_sections(payload, 4)
+    n_uniq, pack_w = (int(x) for x in varint_decode(hdr_blob, 2))
     lengths = varint_decode(lens_blob, n_uniq).astype(np.int32)
     offsets = np.zeros(n_uniq + 1, dtype=np.int32)
     np.cumsum(lengths, out=offsets[1:])
     uniques = pa.StringArray.from_buffers(
         n_uniq, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)
     ).to_numpy(zero_copy_only=False)
-    codes = varint_decode(codes_blob, n).astype(np.int64)
+    codes = _decode_dict_codes(codes_blob, n, pack_w)
     return uniques[codes]

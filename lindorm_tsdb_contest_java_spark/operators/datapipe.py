@@ -326,16 +326,33 @@ def simhash_dedup(df: DataFrame, id_col: str, text_col: str = "text",
     return groups.filter(F.col("n_docs") > 1)
 
 
+def simhash_band_plan(max_hamming: int, n_bands: int | None = None) -> tuple[int, int]:
+    """(n_bands, band_width) for an EXHAUSTIVE banded search at the given
+    radius. Pigeonhole: a pair differing in at most `h` bits must share at
+    least one of n_bands disjoint bands iff n_bands >= h + 1 — so the
+    default derives the smallest divisor of SIMHASH_BITS with
+    n_bands >= max_hamming + 1. An explicit n_bands < max_hamming + 1 is a
+    recall-trading override (cheaper, can miss pairs at the radius edge)."""
+    if n_bands is None:
+        n_bands = next(b for b in range(max_hamming + 1, SIMHASH_BITS + 1)
+                       if SIMHASH_BITS % b == 0)
+    if SIMHASH_BITS % n_bands:
+        raise ValueError(f"n_bands must divide {SIMHASH_BITS}")
+    return n_bands, SIMHASH_BITS // n_bands
+
+
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str = "text",
-                       max_hamming: int = 6, n_bands: int = 4) -> DataFrame:
+                       max_hamming: int = 6, n_bands: int | None = None) -> DataFrame:
     """SimHash near-dup pairs within a hamming radius, banded-LSH style:
     split the 48-bit simhash into n_bands fixed bit-bands; two docs within
-    hamming <= 48/n_bands - 1 of each other are guaranteed to share at
-    least one unchanged band (pigeonhole), so candidates come from ONE
-    groupBy on (band, band_bits) — O(n), never all-pairs — and the exact
-    popcount check runs only on same-bucket candidates. All JVM
-    expressions; SQL twin in the driver oracle."""
-    width = SIMHASH_BITS // n_bands
+    hamming <= n_bands - 1 of each other are guaranteed to share at least
+    one unchanged band (pigeonhole), so candidates come from ONE groupBy
+    on (band, band_bits) — O(n), never all-pairs — and the exact popcount
+    check runs only on same-bucket candidates. n_bands defaults to
+    max_hamming + 1 rounded up to a divisor of 48, so the advertised
+    radius is actually exhaustive (ADVICE r02). All JVM expressions; SQL
+    twin in the driver oracle."""
+    n_bands, width = simhash_band_plan(max_hamming, n_bands)
     mask = (1 << width) - 1
     sh = df.select(F.col(id_col), simhash_expr(F.col(text_col)).alias("simhash"))
     bands = F.array(*[

@@ -227,7 +227,9 @@ def tier_percentiles(tier: DataFrame, lb_ms: int, ub_ms: int,
     import numpy as np
     import pandas as pd
 
-    qcols = [f"p{str(q).replace('0.', '')}" for q in qs]
+    # name by percentile value: 0.5 -> p50, 0.9 -> p90, 0.99 -> p99
+    # (str-mangling gave 'p5' for the median — ADVICE r02)
+    qcols = [f"p{int(round(q * 100))}" for q in qs]
     schema = ("role string, tool string, n_turns bigint, "
               + ", ".join(f"{c} double" for c in qcols))
     scoped = tier.filter((F.col("bucket_ms") >= lb_ms)

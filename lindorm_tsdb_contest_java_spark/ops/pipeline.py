@@ -27,6 +27,7 @@ from dataclasses import dataclass, field
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.codecs import CODEC_VERSION
 from ..operators.tiers import (
     HOUR_MS, MINUTE_MS, DAY_MS,
     build_conv_tier, build_latest_tier, build_rate_tier,
@@ -129,7 +130,11 @@ class RollupPipeline:
             F.sum(F.xxhash64("conv_id", "turn_idx", "ts_us").cast("decimal(38,0)"))
              .alias("h"),  # decimal sum: immune to ANSI long overflow
         ).collect())
-        fingerprints = {int(r["time_chunk"]): f'{r["n"]}:{r["mx"]}:{r["h"]}'
+        # fingerprint = content (count + ts bounds + key hash-sum) PLUS the
+        # codec wire version: a codec format bump invalidates every chunk,
+        # so stale blobs are re-encoded, never misparsed (ADVICE r02)
+        fingerprints = {int(r["time_chunk"]):
+                        f'v{CODEC_VERSION}:{r["n"]}:{r["mx"]}:{r["h"]}'
                         for r in fp_rows}
         chunks = sorted(fingerprints)
         done = self.checkpoint.done_chunks("rollup", input_snapshot)
@@ -166,6 +171,7 @@ class RollupPipeline:
         # so bucket-scoped reads prune to contiguous row groups
         snap = seg_table.overwrite_partitions_multi(
             encode_segments(part), "time_chunk", [int(c) for c in batch],
+            meta={"codec_version": CODEC_VERSION},
             sort_within=["conv_bucket"])
         new_files = {}  # chunk -> [file names] written by THIS commit
         for f in snap.files:

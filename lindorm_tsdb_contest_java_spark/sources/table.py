@@ -280,6 +280,48 @@ class SnapshotTable:
     def _current_path(self) -> str:
         return os.path.join(self.manifest_dir, "CURRENT")
 
+    def _acquire_lock(self, lock: str, ttl_s: float = 300.0) -> int:
+        """O_EXCL lock with stale-holder recovery (ADVICE r02): the lock
+        file records the holder PID; a lock whose holder is dead (or which
+        outlived the TTL — covers a holder PID reused by an unrelated
+        process) is reclaimed instead of wedging every future commit after
+        a SIGKILL between lock creation and unlink."""
+        for attempt in range(2):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                return fd
+            except FileExistsError:
+                stale = False
+                holder: int | str = "?"
+                try:
+                    with open(lock) as f:
+                        holder = int(f.read().strip() or "0")
+                    age = __import__("time").time() - os.path.getmtime(lock)
+                    if age > ttl_s:
+                        stale = True
+                    elif holder:
+                        try:
+                            os.kill(holder, 0)  # signal 0: existence probe
+                        except ProcessLookupError:
+                            stale = True
+                        except PermissionError:
+                            pass  # alive, owned by someone else
+                except (OSError, ValueError):
+                    stale = True  # unreadable/empty lock: treat as stale
+                if stale and attempt == 0:
+                    try:
+                        os.unlink(lock)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                raise RuntimeError(
+                    f"concurrent commit in progress on {self.root} (LOCK "
+                    f"held by pid {holder}); "
+                    "single-writer per commit — if the holder crashed, "
+                    f"delete {lock} to recover") from None
+        raise AssertionError("unreachable")
+
     def _commit(self, snap: Snapshot) -> Snapshot:
         """Optimistic-concurrency commit (the Iceberg commit protocol in
         miniature): an O_EXCL lock file serializes the commit window, and
@@ -287,12 +329,7 @@ class SnapshotTable:
         CURRENT — a second writer fails loudly instead of silently
         clobbering the first writer's snapshot."""
         lock = os.path.join(self.manifest_dir, "LOCK")
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            raise RuntimeError(
-                f"concurrent commit in progress on {self.root} (LOCK held); "
-                "this table format is single-writer per commit") from None
+        fd = self._acquire_lock(lock)
         try:
             if snap.parent_id is not None and os.path.exists(self._current_path()) \
                     and self.current().snapshot_id != snap.parent_id:

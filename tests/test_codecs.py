@@ -244,3 +244,68 @@ def test_int_codec_modes_all_decodable():
     for arr in ([], [5], [5, -7], [2**62, -2**62]):
         a = np.array(arr, dtype=np.int64)
         assert (int_decode(int_encode(a)) == a).all()
+
+
+# ---------- bit-packed dictionary codes ----------
+
+from lindorm_tsdb_contest_java_spark.functions.codecs.bitpack import (
+    pack_codes, unpack_codes, width_for,
+)
+
+
+def test_width_for_thresholds():
+    assert width_for(0) == 1 and width_for(1) == 1
+    assert width_for(2) == 2 and width_for(3) == 2
+    assert width_for(4) == 4 and width_for(15) == 4
+    assert width_for(16) == 0  # too wide: varint fallback
+
+
+@pytest.mark.parametrize("width", [1, 2, 4])
+@pytest.mark.parametrize("n", [0, 1, 7, 8, 9, 1000])
+def test_bitpack_roundtrip(width, n):
+    rng = np.random.default_rng(width * 100 + n)
+    codes = rng.integers(0, 1 << width, n).astype(np.int64)
+    buf = pack_codes(codes, width)
+    assert len(buf) == -(-n * width // 8)  # ceil(n*width/8)
+    assert (unpack_codes(buf, n, width) == codes).all()
+
+
+def test_int_dict_codes_are_bitpacked():
+    """4 distinct values -> 2-bit codes: the code stream costs n/4 bytes
+    pre-zstd instead of n varint bytes."""
+    rng = np.random.default_rng(11)
+    v = rng.choice(np.array([3, 5, 9, 11], dtype=np.int64), 8000)
+    blob = int_encode(v)
+    assert blob[0] == MODE_DICT
+    assert (int_decode(blob) == v).all()
+    # 2 distinct values: 1-bit packing
+    v2 = rng.choice(np.array([0, 10_000], dtype=np.int64), 8000)
+    assert (int_decode(int_encode(v2)) == v2).all()
+    # 17+ distinct values: varint fallback path still round-trips
+    v3 = rng.choice(np.arange(40, dtype=np.int64) * 1000, 8000)
+    assert (int_decode(int_encode(v3)) == v3).all()
+
+
+def test_string_dict_codes_bitpacked_roundtrip():
+    rng = np.random.default_rng(12)
+    for card in (1, 2, 3, 4, 5, 16, 17):
+        uniq = [f"val-{i}" for i in range(card)]
+        vals = [uniq[i] for i in rng.integers(0, card, 5000)]
+        assert list(dict_decode(dict_encode(vals))) == vals
+
+
+def test_int_decode_rejects_unknown_mode():
+    """A legacy dod_encode stream starts <u64 n>: its low byte aliases the
+    mode byte. Any mode > MODE_DICT must raise, never fall through to a
+    garbage delta parse (ADVICE r02)."""
+    from lindorm_tsdb_contest_java_spark.functions.codecs import dod_encode
+    legacy = dod_encode(np.arange(1000, dtype=np.int64))  # n=1000 -> 0xe8
+    assert legacy[0] > MODE_DICT
+    with pytest.raises(ValueError, match="unknown int codec mode"):
+        int_decode(legacy)
+
+
+def test_string_decode_rejects_unknown_mode():
+    blob = bytes([7]) + b"\x00" * 16
+    with pytest.raises(ValueError):
+        dict_decode(blob)

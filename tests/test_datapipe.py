@@ -187,3 +187,37 @@ def test_ivf_topk_cosines_match_bruteforce(spark):
     # probing 3 of ~10 cells recalls a decent share of the true top-10
     top10 = set(brute["vec_id"].iloc[:10])
     assert len(set(ivf["vec_id"]) & top10) >= 2
+
+
+def test_simhash_band_plan_exhaustive_radius():
+    """Pigeonhole: n_bands >= max_hamming + 1, rounded up to a divisor of
+    48 so fixed bit-bands tile the hash exactly (ADVICE r02)."""
+    assert DP.simhash_band_plan(3) == (4, 12)
+    assert DP.simhash_band_plan(6) == (8, 6)
+    assert DP.simhash_band_plan(10) == (12, 4)
+    assert DP.simhash_band_plan(6, n_bands=4) == (4, 12)  # explicit override
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        DP.simhash_band_plan(6, n_bands=5)
+
+
+def test_simhash_near_pairs_exhaustive_at_radius(spark):
+    """Every pair within max_hamming must be found (the derived banding is
+    exhaustive, not probabilistic): compare against the all-pairs oracle."""
+    import itertools
+    import pandas as pd
+    texts = [
+        "alpha beta gamma delta epsilon", "alpha beta gamma delta zeta",
+        "alpha beta gamma theta epsilon", "one two three four five",
+        "one two three four six", "alpha beta gamma delta epsilon extra",
+        "totally different words here now", "alpha beta gamma delta epsilon",
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    sh = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", DP.simhash_expr(F.col("text")).alias("sh")).collect()}
+    want = {(a, b) for a, b in itertools.combinations(sorted(sh), 2)
+            if bin(sh[a] ^ sh[b]).count("1") <= 6}
+    got = {(r["id_a"], r["id_b"]) for r in
+           DP.simhash_near_pairs(docs, "doc_id", max_hamming=6).collect()}
+    assert got == want

@@ -173,3 +173,27 @@ def test_chunk_files_are_bucket_ordered(spark, transcripts_df, tmp_path):
         assert (col[1:] >= col[:-1]).all(), f["path"]
         checked += 1
     assert checked > 0
+
+
+def test_stale_lock_reclaimed(tmp_path):
+    """A LOCK left by a dead writer (SIGKILL between open and unlink) must
+    be reclaimed, not wedge every future commit (ADVICE r02)."""
+    import pandas as pd
+    t = SnapshotTable.create(str(tmp_path / "t"))
+    lock = os.path.join(t.manifest_dir, "LOCK")
+    with open(lock, "w") as f:
+        f.write("999999999")  # dead pid (way above pid_max)
+    t.append(pd.DataFrame({"a": [1, 2]}))  # reclaims + commits
+    assert t.current().row_count == 2
+    assert not os.path.exists(lock)
+
+
+def test_live_lock_still_blocks(tmp_path):
+    import pandas as pd
+    t = SnapshotTable.create(str(tmp_path / "t"))
+    lock = os.path.join(t.manifest_dir, "LOCK")
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))  # alive holder: this process
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        t.append(pd.DataFrame({"a": [1]}))
+    os.unlink(lock)

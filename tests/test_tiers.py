@@ -160,7 +160,7 @@ def test_tier_percentiles_close_to_exact(spark, transcripts_df):
     for r in got.itertuples():
         lat = raw[(raw["role"] == r.role) & (raw["tool"] == r.tool)]["latency_s"]
         assert r.n_turns == len(lat)
-        for q, est in ((0.5, r.p5), (0.9, r.p9)):
+        for q, est in ((0.5, r.p50), (0.9, r.p90)):
             # rank-space accuracy: the estimate's true rank is within 2%
             rank = (lat.to_numpy() <= est).mean()
             assert abs(rank - q) < 0.02, (r.role, r.tool, q, est, rank)
