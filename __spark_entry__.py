@@ -12,11 +12,10 @@ the driver's `events` table identically in Spark and SQL — see
 lindorm_tsdb_contest_java_spark/sources/events_adapter.py.
 
 Every hashing operator (MinHash-LSH, SimHash, LSH-ANN) uses md5-derived
-48-bit hashes reproducible in DuckDB, and the segment round-trip's oracle
-is the canonical CTE itself (decode(encode(x)) == x), so all of those are
-value-checked. The single remaining rows-only entry is
-multimodal_features, whose decode kernel is an acknowledged stub (the
-container has no media libraries).
+48-bit hashes reproducible in DuckDB, the segment round-trip's oracle is
+the canonical CTE itself (decode(encode(x)) == x), and the multimodal
+decode stub is md5-seeded so even the feature path is value-checked —
+every queries() entry has an oracle_sql() twin.
 """
 
 from __future__ import annotations
@@ -312,13 +311,19 @@ def _q_except_new_convs(spark, sf_dir):
 
 
 def _q_topk_convs_rank(spark, sf_dir):
+    """Top-10 conversations by turn count. The ordering key (n_turns desc,
+    conv_id) is unique, so dense_rank == row position and 'rnk <= 10' ==
+    orderBy+limit(10): the limit executes as TakeOrdered (per-partition
+    heap, k rows to the driver) and the rank window runs over the 10
+    surviving rows only — no full-table unpartitioned window sort (round-2
+    verdict 'What's wrong #5')."""
     from pyspark.sql.window import Window
     canon = events_canonical(spark, sf_dir)
     sizes = canon.groupBy("conv_id").agg(F.count("*").alias("n_turns"),
                                          F.sum("text_len").alias("total_chars"))
+    top = sizes.orderBy(F.col("n_turns").desc(), F.col("conv_id")).limit(10)
     w = Window.orderBy(F.col("n_turns").desc(), F.col("conv_id"))
-    return (sizes.withColumn("rnk", F.dense_rank().over(w))
-            .filter(F.col("rnk") <= 10)
+    return (top.withColumn("rnk", F.dense_rank().over(w))
             .select("conv_id", "n_turns", "total_chars",
                     F.col("rnk").cast("long").alias("rnk")))
 
@@ -396,7 +401,7 @@ def _q_ann_ivf(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     out = DP.ivf_topk(emb.filter(F.col("vec_id") > 0), qvec, k=10,
-                      centroid_rate=100, n_probe=2)
+                      n_centroids=32, n_probe=2)
     return _round(out, ["cosine"], 4)
 
 
@@ -438,10 +443,17 @@ def _q_multimodal_meta(spark, sf_dir):
         "media_id", "kind", "byte_len", "content_md5")
 
 
-def _q_multimodal_features(spark, sf_dir):  # Spark-only: rows-only check
+def _q_multimodal_features(spark, sf_dir):
+    """Feature extraction over the media table. The decode stub is
+    md5-seeded, so the pooled features are exact quarters (mean of four
+    uint8 digest bytes) and DuckDB derives the identical values from the
+    md5 hex — full value check, no rows-only carve-out."""
     media = MM.attach_media(_docs(spark, sf_dir), "doc_id")
-    return MM.extract_features(media).select("media_id", "kind", "width", "height",
-                                             "n_frames")
+    out = MM.extract_features(media)
+    return out.select(
+        "media_id", "kind", "width", "height", "n_frames",
+        *[F.element_at("feature", j + 1).cast("double").alias(f"f{j}")
+          for j in range(4)])
 
 
 def _q_segment_roundtrip(spark, sf_dir):
@@ -845,7 +857,12 @@ FROM canonical
 """,
         "ann_ivf_topk": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id > 0),
-cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv FROM e
+  QUALIFY ROW_NUMBER() OVER (ORDER BY
+    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12) AS BIGINT),
+    vec_id) <= 32
+),
 assigned AS (
   SELECT e.vec_id, e.v, cents.cent_id AS cell
   FROM e, cents
@@ -980,5 +997,31 @@ SELECT CAST(doc_id AS BIGINT) AS media_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
        md5(text) AS content_md5
 FROM documents
+""",
+        # the decode stub's 4x4 'image' is the 16 md5 bytes of the payload;
+        # pooled feature j = mean of digest bytes (j, j+4, j+8, j+12)
+        "multimodal_features": f"""
+WITH dig AS (
+  SELECT doc_id, text, md5(text) AS h,
+         octet_length(encode(text)) AS blen
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, blen,
+         {", ".join(
+             f"CAST('0x' || substr(h, {2 * i + 1}, 2) AS INTEGER) AS b{i}"
+             for i in range(16))}
+  FROM dig
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       4 AS width, 4 AS height,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + blen % 8 ELSE 1 END AS INTEGER)
+         AS n_frames,
+       {", ".join(
+           f"(b{j} + b{j + 4} + b{j + 8} + b{j + 12}) / 4.0 AS f{j}"
+           for j in range(4))}
+FROM bytes
 """,
     }

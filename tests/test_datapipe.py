@@ -178,7 +178,7 @@ def test_ivf_topk_cosines_match_bruteforce(spark):
     df = spark.createDataFrame(pdf)
     q = [float(x) for x in vecs[0]]
     sub = df.filter("vec_id > 0")
-    ivf = DP.ivf_topk(sub, q, k=10, centroid_rate=50, n_probe=3).toPandas()
+    ivf = DP.ivf_topk(sub, q, k=10, n_centroids=10, n_probe=3).toPandas()
     brute = DP.cosine_topk(sub, q, k=500).toPandas()
     bmap = dict(zip(brute["vec_id"], brute["cosine"]))
     assert len(ivf) == 10
@@ -221,3 +221,31 @@ def test_simhash_near_pairs_exhaustive_at_radius(spark):
     got = {(r["id_a"], r["id_b"]) for r in
            DP.simhash_near_pairs(docs, "doc_id", max_hamming=6).collect()}
     assert got == want
+
+
+def test_ivf_centroid_count_independent_of_input_size(spark):
+    """The centroid set is O(constant): same n_centroids rows whether the
+    input has 100 or 2000 vectors (round-2 verdict scale fix)."""
+    rng = np.random.default_rng(32)
+    for n in (100, 2000):
+        pdf = pd.DataFrame({"vec_id": range(n),
+                            "embedding": list(rng.normal(size=(n, 8)))})
+        cents = DP.ivf_centroids(spark.createDataFrame(pdf), n_centroids=8)
+        assert cents.count() == 8
+    # and the plan is TakeOrdered (bounded), not a global sort
+    plan = cents._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan, plan
+
+
+def test_simhash_kernel_equals_expression(docs):
+    """The Arrow vote kernel must be bit-identical to the pure-expression
+    simhash (the oracle form), including empty docs."""
+    import pandas as _pd
+    extra = docs.sparkSession.createDataFrame(_pd.DataFrame(
+        {"doc_id": [900, 901], "text": ["", "  "]}))
+    both = docs.unionByName(extra).select(
+        "doc_id",
+        DP.simhash_column(F.col("text"), "expr").alias("e"),
+        DP.simhash_column(F.col("text"), "kernel").alias("k"))
+    assert both.filter(F.col("e") != F.col("k")).count() == 0
+    assert both.filter((F.col("doc_id") >= 900) & (F.col("k") != 0)).count() == 0
