@@ -10,19 +10,31 @@ switch without relearning anything:
 - `write` buffers appended batches (the memtable analog,
   memory/MemoryTable.java:52-74) — duplicates of (conv_id, turn_idx)
   overwrite on read, newest ts wins (TSDBEngine.java:85-92);
-- `shutdown` flushes: canonicalize + encode segments + build tiers,
-  committed as table snapshots (the durability point,
-  TSDBEngineImpl.java:127-169);
+- `shutdown` flushes INCREMENTALLY through the RollupPipeline's
+  fingerprinted chunk machinery (the reference persists only the
+  memtable remainder at shutdown, TSDBEngineImpl.java:127-169): the
+  appended batch goes to the raw ingest log, and only the time chunks
+  whose content fingerprint changed are re-encoded and re-tiered —
+  never the whole history. Each flush records per-chunk lineage rows
+  and an atomic snapshot per table;
 - a new instance on the same root `connect`s from the committed
   snapshots — the contest's restart protocol (write → shutdown →
   reopen → identical answers, README.md:30-38) is pinned by
   tests/test_engine_api.py;
-- queries served from the canonical table, with aggregate/downsample
-  routed through the 1m tier when the bounds align (AggBucket fast
-  path), else direct — both oracle-identical.
+- once flushed, EVERY query type is served from the compressed segment
+  store + tiers — the reference's storage model, which keeps only
+  encoded blocks and answers all queries from them
+  (TSDBEngineImpl.java:249-377, TSFileService.java:297-447). The raw
+  table is the upstream ingest log: deleting it after a flush changes
+  no committed-state query answer (pinned by
+  test_engine_api.py::test_queries_survive_raw_table_removal).
 
 Unflushed buffered rows are also visible to queries (memtable reads,
 MemoryTable.java:84-158): queries run over committed ∪ buffered.
+
+Engine-API dtype note: text_len is BIGINT on every path (the decoded
+segment view is int64; the memtable path casts to match), so result
+schemas are independent of flush state.
 """
 
 from __future__ import annotations
@@ -34,15 +46,18 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .operators import queries as Q
 from .operators.tiers import (
-    MINUTE_MS, build_conv_tier, build_latest_tier, latest_from_tier,
+    DAY_MS, HOUR_MS, MINUTE_MS, build_conv_tier, latest_from_tier,
 )
+from .ops.pipeline import RollupPipeline
 from .plans.router import routed_aggregate, routed_downsample
 from .sources.segments import (
-    CANONICAL_COLUMNS, canonicalize, encode_segments, time_range_from_segments,
+    CANONICAL_COLUMNS, canonicalize, time_range_from_segments,
 )
 from .sources.table import SnapshotTable
 
 AVG, MAX, EQUAL, GREATER = Q.AVG, Q.MAX, Q.EQUAL, Q.GREATER
+
+_TIER_COLUMNS = ("text_len", "latency_s")  # tier-accelerated metrics
 
 
 class TranscriptTSDB:
@@ -55,9 +70,13 @@ class TranscriptTSDB:
         self._tier_cache: DataFrame | None = None
         os.makedirs(root, exist_ok=True)
         self._raw = SnapshotTable.create(os.path.join(root, "raw"))
-        self._segments = SnapshotTable.create(os.path.join(root, "segments"))
-        self._tier_1m = SnapshotTable.create(os.path.join(root, "tier_conv_1m"))
-        self._tier_latest = SnapshotTable.create(os.path.join(root, "tier_latest"))
+        # the pipeline owns the committed stores (segments + tier cascade +
+        # checkpoint + lineage); the engine's flush IS a pipeline run
+        self._pipeline = RollupPipeline(spark, root, n_buckets=n_buckets,
+                                        tiers={"1h": HOUR_MS, "1d": DAY_MS})
+        self._segments = self._pipeline.table("segments")
+        self._tier_1m = self._pipeline.table("tier_conv_1m")
+        self._tier_latest = self._pipeline.table("tier_latest")
 
     # ---------- write path ----------
 
@@ -73,23 +92,26 @@ class TranscriptTSDB:
         self._canon_cache = self._tier_cache = None
 
     def shutdown(self) -> None:
-        """Flush + durable commit: raw snapshot, encoded segments, 1m tier."""
+        """Flush + durable commit, INCREMENTALLY: append the buffered batch
+        to the raw ingest log, then run the rollup pipeline over the
+        committed rows — its content fingerprints skip every time chunk
+        the append didn't touch, so a small batch re-encodes only its own
+        chunks (the reference's shutdown persists the memtable remainder,
+        not the whole store, TSDBEngineImpl.java:127-169). input_snapshot
+        is pinned to 0 because the fingerprints are content-addressed
+        (count + ts bounds + key hash-sum + codec version): they carry
+        across raw-table snapshots by construction."""
         if self._buffer:
             batch = self._buffer[0]
             for more in self._buffer[1:]:
                 batch = batch.unionByName(more)
             self._raw.append(batch)
             self._buffer = []
-        canon = self._committed_canonical()
-        self._segments.overwrite(encode_segments(canon))
-        self._tier_1m.overwrite(build_conv_tier(canon, MINUTE_MS))
-        self._tier_latest.overwrite(build_latest_tier(canon))
+        if self._raw.current().files:
+            self._pipeline.run(self._raw.read(self.spark), input_snapshot=0)
         self._canon_cache = self._tier_cache = None
 
-    # ---------- read path ----------
-
-    def _committed_canonical(self) -> DataFrame:
-        return canonicalize(self._raw.read(self.spark), n_buckets=self.n_buckets)
+    # ---------- read path: memtable-visible (buffered) ----------
 
     def _canonical(self) -> DataFrame:
         """Committed ∪ buffered (memtable-visible reads)."""
@@ -106,14 +128,53 @@ class TranscriptTSDB:
             df = df.unionByName(more)
         # conv grain: query-serving canon wants balanced partitions, not
         # the encode path's bucket-clustered exchange
-        self._canon_cache = canonicalize(df, n_buckets=self.n_buckets,
-                                         grain="conv")
+        canon = canonicalize(df, n_buckets=self.n_buckets, grain="conv")
+        # engine-API dtype: text_len is BIGINT on the decoded-segment path,
+        # so the memtable path matches (state-independent result schemas)
+        self._canon_cache = canon.withColumn(
+            "text_len", F.col("text_len").cast("long"))
         return self._canon_cache
 
     def _tier(self) -> DataFrame:
         if self._tier_cache is None:
             self._tier_cache = build_conv_tier(self._canonical(), MINUTE_MS)
         return self._tier_cache
+
+    # ---------- read path: committed (segments + tiers only) ----------
+
+    def _committed(self) -> bool:
+        return not self._buffer and bool(self._segments.current().files)
+
+    def _range_decode(self, conv_id: str, lb_ms: int, ub_ms: int,
+                      column: str) -> DataFrame:
+        """Rows of one conversation over [lb, ub), decoded from the
+        compressed store: shard-routed, zone-map-pruned, lazy per-column
+        decode (TSFileService.java:297-447)."""
+        cols = list(dict.fromkeys(["conv_id", "ts_us", column]))
+        return time_range_from_segments(
+            self._segments.read(self.spark), conv_id, lb_ms, ub_ms,
+            cols, n_buckets=self.n_buckets)
+
+    def _edge_rows(self, conv_id: str, lb_ms: int, ub_ms: int,
+                   column: str) -> DataFrame:
+        """Decode ONLY the partial tier buckets at the range ends — the
+        reference decodes exactly the straddling blocks and answers the
+        interior from AggBuckets (TSDBEngineImpl.java:254-262). Edge
+        bounds are pure arithmetic on (lb, ub), so no data-dependent
+        driver branching."""
+        lo = -(-lb_ms // MINUTE_MS) * MINUTE_MS   # ceil to tier grid
+        hi = (ub_ms // MINUTE_MS) * MINUTE_MS     # floor to tier grid
+        ranges = [(lb_ms, ub_ms)] if lo >= hi else [(lb_ms, lo), (hi, ub_ms)]
+        ranges = [r for r in ranges if r[0] < r[1]]
+        if not ranges:  # fully grid-aligned: no edge rows (empty decode)
+            ranges = [(lb_ms, lb_ms)]
+        parts = [self._range_decode(conv_id, l, u, column) for l, u in ranges]
+        out = parts[0]
+        for more in parts[1:]:
+            out = out.unionByName(more)
+        return out
+
+    # ---------- the four query types ----------
 
     def execute_latest_query(self, conv_ids: list[str] | None = None,
                              columns: list[str] | None = None) -> DataFrame:
@@ -141,7 +202,7 @@ class TranscriptTSDB:
         # The SAME default applies on both branches so the result schema
         # is independent of flush state (ADVICE r02).
         cols = columns or [c for c in CANONICAL_COLUMNS if c != "ts"]
-        if not self._buffer and self._segments.current().files:
+        if self._committed():
             return time_range_from_segments(
                 self._segments.read(self.spark), conv_id, lb_ms, ub_ms,
                 cols, n_buckets=self.n_buckets)
@@ -149,7 +210,18 @@ class TranscriptTSDB:
 
     def execute_aggregate_query(self, conv_id: str, column: str, lb_ms: int,
                                 ub_ms: int, agg: str) -> DataFrame:
-        if column in ("text_len", "latency_s"):
+        """Committed state: interior tier buckets come pre-aggregated from
+        the 1m tier table, edge rows decode from segments — raw is never
+        touched. Buffered state: memtable-visible canonical path."""
+        if self._committed():
+            if column in _TIER_COLUMNS:
+                return routed_aggregate(
+                    self._edge_rows(conv_id, lb_ms, ub_ms, column),
+                    self._tier_1m.read(self.spark),
+                    conv_id, column, lb_ms, ub_ms, agg)
+            return Q.aggregate(self._range_decode(conv_id, lb_ms, ub_ms, column),
+                               conv_id, column, lb_ms, ub_ms, agg)
+        if column in _TIER_COLUMNS:
             return routed_aggregate(self._canonical(), self._tier(), conv_id,
                                     column, lb_ms, ub_ms, agg)
         return Q.aggregate(self._canonical(), conv_id, column, lb_ms, ub_ms, agg)
@@ -158,7 +230,19 @@ class TranscriptTSDB:
                                  ub_ms: int, interval_ms: int, agg: str,
                                  filter_op: str | None = None,
                                  filter_value=None) -> DataFrame:
-        if column in ("text_len", "latency_s"):
+        """Committed state: covered tier buckets come from the 1m tier
+        (AggBucket classification); only straddling buckets decode from
+        segments. Buffered state: memtable-visible canonical path."""
+        if self._committed():
+            raw = self._range_decode(conv_id, lb_ms, ub_ms, column)
+            if column in _TIER_COLUMNS:
+                return routed_downsample(raw, self._tier_1m.read(self.spark),
+                                         conv_id, column, lb_ms, ub_ms,
+                                         interval_ms, agg, filter_op,
+                                         filter_value)
+            return Q.downsample(raw, conv_id, column, lb_ms, ub_ms,
+                                interval_ms, agg, filter_op, filter_value)
+        if column in _TIER_COLUMNS:
             return routed_downsample(self._canonical(), self._tier(), conv_id,
                                      column, lb_ms, ub_ms, interval_ms, agg,
                                      filter_op, filter_value)

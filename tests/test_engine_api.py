@@ -142,3 +142,99 @@ def test_time_range_served_from_segments_with_pruning(spark, db, oracle_pdf):
     exp = oracle_time_range(oracle_pdf, HOT, lb, ub, cols) \
         .sort_values("ts_us").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def _mk_rows(conv_ids, ts_list_us, text="t"):
+    n = len(conv_ids)
+    return pd.DataFrame({
+        "conv_id": conv_ids,
+        "turn_idx": np.arange(n, dtype=np.int32),
+        "role": ["user"] * n, "text": [f"{text}{i}" for i in range(n)],
+        "tool": [""] * n,
+        "ts": pd.to_datetime(ts_list_us, unit="us"),
+    })
+
+
+def test_shutdown_incremental_rewrites_only_touched_chunks(spark, tmp_path):
+    """The round-2 scale-killer: shutdown used to re-encode the ENTIRE
+    history on every flush. Now a flush re-encodes only the time chunks
+    whose content fingerprint changed — a second shutdown after a small
+    append must leave the untouched chunk's segment files byte-identical
+    (same snapshot paths), and rewrite only the appended chunk."""
+    CHUNK_US = 6 * 3600 * 1_000_000
+    t0 = 283_000 * CHUNK_US  # chunk-aligned epoch micros
+    db = eng.connect(spark, str(tmp_path / "db"), n_buckets=4)
+    # chunk A rows + chunk B rows
+    db.write(spark.createDataFrame(_mk_rows(
+        ["a", "a", "b"], [t0 + 1_000_000, t0 + 2_000_000,
+                          t0 + CHUNK_US + 1_000_000])))
+    db.shutdown()
+    snap1 = db._segments.current()
+    by_chunk1 = {}
+    for f in snap1.files:
+        by_chunk1.setdefault(f["partition"]["time_chunk"], set()).add(f["path"])
+    assert len(by_chunk1) == 2, by_chunk1
+    chunk_a, chunk_b = sorted(by_chunk1)
+
+    # append into chunk B only, flush again
+    db.write(spark.createDataFrame(_mk_rows(
+        ["c"], [t0 + CHUNK_US + 2_000_000])))
+    db.shutdown()
+    snap2 = db._segments.current()
+    by_chunk2 = {}
+    for f in snap2.files:
+        by_chunk2.setdefault(f["partition"]["time_chunk"], set()).add(f["path"])
+    # untouched chunk: identical file paths (not rewritten)
+    assert by_chunk2[chunk_a] == by_chunk1[chunk_a]
+    # appended chunk: replaced by new snapshot files
+    assert by_chunk2[chunk_b] != by_chunk1[chunk_b]
+    assert all(p.startswith(f"snap{snap2.snapshot_id}-")
+               for p in by_chunk2[chunk_b])
+    # lineage: the second flush recorded work for chunk B only
+    lineage = db._pipeline.lineage.read(spark).toPandas()
+    second = lineage[lineage["input_files"].str.startswith(
+        f"snap{snap2.snapshot_id}-")]
+    assert set(second["time_chunk"]) == {chunk_b}
+    # and the merged store still answers correctly
+    got = (db.execute_time_range_query("c", 0, 10**15, ["conv_id", "text"])
+           .toPandas())
+    assert list(got["text"]) == ["t0"]
+
+
+def test_queries_survive_raw_table_removal(spark, tmp_path):
+    """Post-flush, the compressed store + tiers are the single source of
+    truth: delete the raw ingest log, reconnect, and all four query types
+    still answer identically (the reference keeps ONLY encoded blocks,
+    TSDBEngineImpl.java:249-377)."""
+    import shutil
+    root = str(tmp_path / "db")
+    db = eng.connect(spark, root, n_buckets=4)
+    t0 = 1_700_000_000_000_000
+    rows = _mk_rows(["x"] * 8 + ["y"] * 4,
+                    [t0 + i * 90_000_000 for i in range(12)])
+    db.write(spark.createDataFrame(rows))
+    db.shutdown()
+    lb, ub = t0 // 1000, t0 // 1000 + 1_440_000  # 24 min, misaligned edges ok
+
+    def snapshot_answers(e):
+        return {
+            "latest": e.execute_latest_query(["x", "y"], ["turn_idx", "ts_us"])
+                       .toPandas().sort_values("conv_id").reset_index(drop=True),
+            "range": e.execute_time_range_query("x", lb, ub, ["turn_idx", "ts_us"])
+                      .toPandas().sort_values("ts_us").reset_index(drop=True),
+            "agg_avg": e.execute_aggregate_query("x", "text_len", lb + 30_000,
+                                                 ub - 30_000, "AVG").toPandas(),
+            "agg_max": e.execute_aggregate_query("x", "text_len", lb + 30_000,
+                                                 ub - 30_000, "MAX").toPandas(),
+            "ds": e.execute_downsample_query("x", "text_len", lb, ub, 360_000,
+                                             "AVG", "GREATER", 1).toPandas(),
+            "ds_lat": e.execute_downsample_query("x", "latency_s", lb, ub,
+                                                 360_000, "MAX").toPandas(),
+        }
+
+    before = snapshot_answers(db)
+    shutil.rmtree(f"{root}/raw")  # the ingest log is gone
+    fresh = eng.connect(spark, root, n_buckets=4)
+    after = snapshot_answers(fresh)
+    for k in before:
+        pd.testing.assert_frame_equal(after[k], before[k]), k
