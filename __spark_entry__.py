@@ -32,7 +32,11 @@ from lindorm_tsdb_contest_java_spark.operators import datapipe as DP
 from lindorm_tsdb_contest_java_spark.operators import multimodal as MM
 from lindorm_tsdb_contest_java_spark.operators import queries as Q
 from lindorm_tsdb_contest_java_spark.operators.tiers import (
-    DAY_MS, HOUR_MS, MINUTE_MS, build_conv_tier, gap_fill, rollup_conv_tier, with_avg,
+    DAY_MS, HOUR_MS, MINUTE_MS, build_conv_tier, build_rate_tier, gap_fill,
+    rollup_conv_tier, tier_percentiles, with_avg,
+)
+from lindorm_tsdb_contest_java_spark.plans.router import (
+    routed_aggregate, routed_downsample,
 )
 from lindorm_tsdb_contest_java_spark.sources.events_adapter import (
     CANONICAL_CTE, JAN1_MS, JAN8_MS, JAN31_MS,
@@ -143,6 +147,70 @@ def _q_downsample_avg_latency(spark, sf_dir):
     out = Q.downsample(canon, CONV, "latency_us", JAN1_MS, JAN8_MS, DS_ITV_MS,
                        "AVG", None, None, sentinel_as_null=True)
     return out.withColumn("value", F.col("value") / F.lit(1e6))
+
+
+def _q_routed_agg_avg(spark, sf_dir):
+    """Tier-routed twin of agg_avg_int (plans/router.py:routed_aggregate):
+    interior minute buckets are served from the 1m conv tier's (sum,
+    count) pre-aggregates; only grid-edge rows touch raw. The oracle is
+    the plain full-scan SQL — routing must be value-invisible."""
+    canon = events_canonical(spark, sf_dir)
+    return routed_aggregate(canon, build_conv_tier(canon, MINUTE_MS),
+                            CONV, "text_len", JAN1_MS, JAN31_MS, "AVG")
+
+
+def _q_routed_agg_max(spark, sf_dir):
+    canon = events_canonical(spark, sf_dir)
+    return routed_aggregate(canon, build_conv_tier(canon, MINUTE_MS),
+                            CONV, "text_len", JAN1_MS, JAN31_MS, "MAX")
+
+
+def _q_routed_downsample_avg(spark, sf_dir):
+    """Tier-routed twin of downsample_avg_greater: a bucket whose
+    column-min already passes the GREATER filter contributes its
+    pre-aggregates without touching raw; only straddling buckets decode
+    raw rows — the reference's AggBucket classification
+    (TSDBEngineImpl.java:489-521). Same oracle SQL as the unrouted twin."""
+    canon = events_canonical(spark, sf_dir)
+    return routed_downsample(canon, build_conv_tier(canon, MINUTE_MS),
+                             CONV, "text_len", JAN1_MS, JAN8_MS, DS_ITV_MS,
+                             "AVG", "GREATER", 9, sentinel_as_null=True)
+
+
+def _q_routed_downsample_max(spark, sf_dir):
+    canon = events_canonical(spark, sf_dir)
+    return routed_downsample(canon, build_conv_tier(canon, MINUTE_MS),
+                             CONV, "text_len", JAN1_MS, JAN8_MS, DS_ITV_MS,
+                             "MAX", "EQUAL", 9, sentinel_as_null=True)
+
+
+def _q_tier_percentile_gate(spark, sf_dir):
+    """North-star hard gate: latency percentiles served PURELY from the
+    rate tier's mergeable t-digest sketches (tiers.tier_percentiles) must
+    sit within 2% RANK error of the exact scoped distribution. The driver
+    compare is exact-hash, so the tolerance is encoded in the result: each
+    ok_* boolean holds iff the empirical CDF brackets the target quantile
+    within TOL at the sketch's estimate; the oracle asserts TRUE for every
+    (role, tool). n_turns additionally pins the tier's count-sum to the
+    raw COUNT(*)."""
+    TOL = 0.02
+    canon = events_canonical(spark, sf_dir)
+    tier = build_rate_tier(canon, MINUTE_MS)
+    pct = tier_percentiles(tier, JAN1_MS, JAN8_MS)
+    scoped = canon.filter((F.col("ts_us") >= JAN1_MS * 1000)
+                          & (F.col("ts_us") < JAN8_MS * 1000))
+
+    def rank_ok(q, est):
+        below = F.sum((F.col("latency_s") < F.col(est)).cast("long")) / F.count("*")
+        at_or_below = F.sum((F.col("latency_s") <= F.col(est)).cast("long")) / F.count("*")
+        return (below <= F.lit(q + TOL)) & (at_or_below >= F.lit(q - TOL))
+
+    return (scoped.join(F.broadcast(pct), ["role", "tool"])
+            .groupBy("role", "tool")
+            .agg(F.first("n_turns").alias("n_turns"),
+                 rank_ok(0.50, "p50").alias("ok50"),
+                 rank_ok(0.90, "p90").alias("ok90"),
+                 rank_ok(0.99, "p99").alias("ok99")))
 
 
 def _q_tier_conv_1h(spark, sf_dir):
@@ -479,6 +547,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downsample_avg_greater": _q_downsample_avg_greater,
         "downsample_max_equal": _q_downsample_max_equal,
         "downsample_avg_latency": _q_downsample_avg_latency,
+        # tier-routed fast paths (SURVEY.md §2.4 A1/A2/A7, plans/router.py)
+        "routed_agg_avg": _q_routed_agg_avg,
+        "routed_agg_max": _q_routed_agg_max,
+        "routed_downsample_avg_greater": _q_routed_downsample_avg,
+        "routed_downsample_max_equal": _q_routed_downsample_max,
+        "tier_percentile_gate": _q_tier_percentile_gate,
         # continuous-aggregate tiers (SURVEY.md §2.4 A1/A2)
         "tier_conv_1h": _q_tier_conv_1h,
         "tier_cascade_1d": _q_tier_cascade_1d,
@@ -523,7 +597,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     C = CANONICAL_CTE
     ds_skel = f"FROM range(0, {(JAN8_MS - JAN1_MS) // DS_ITV_MS}) t(w)"
-    return {
+    out = {
+        # tier-sketch percentiles: the tolerance check lives in the Spark
+        # result (ok_* booleans); the oracle asserts it holds everywhere
+        # and pins the tier's n_turns to the exact COUNT(*)
+        "tier_percentile_gate": C + f"""
+SELECT role, tool, COUNT(*) AS n_turns,
+       TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
+FROM canonical
+WHERE ts_us >= {JAN1_MS * 1000} AND ts_us < {JAN8_MS * 1000}
+GROUP BY role, tool
+""",
         "latest_per_conv": C + """
 SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, ts_us
 FROM canonical
@@ -1025,3 +1109,10 @@ SELECT CAST(doc_id AS BIGINT) AS media_id,
 FROM bytes
 """,
     }
+    # routed fast paths must be value-identical to their unrouted twins:
+    # the oracle IS the plain-scan SQL
+    out["routed_agg_avg"] = out["agg_avg_int"]
+    out["routed_agg_max"] = out["agg_max_int"]
+    out["routed_downsample_avg_greater"] = out["downsample_avg_greater"]
+    out["routed_downsample_max_equal"] = out["downsample_max_equal"]
+    return out

@@ -105,6 +105,7 @@ def routed_downsample(
     filter_op: str | None = None,
     filter_value=None,
     tier_width_ms: int = MINUTE_MS,
+    sentinel_as_null: bool = False,
 ) -> DataFrame:
     """Tier-accelerated filtered downsample — the reference's AggBucket
     classification (TSDBEngineImpl.java:489-494,519-521) as one plan:
@@ -126,7 +127,8 @@ def routed_downsample(
     if (lb_ms % tier_width_ms) or (interval_ms % tier_width_ms) or \
             (ub_ms - lb_ms) % interval_ms:
         return Q.downsample(raw, conv_id, column, lb_ms, ub_ms, interval_ms,
-                            agg, filter_op, filter_value)
+                            agg, filter_op, filter_value,
+                            sentinel_as_null=sentinel_as_null)
     n_windows = (ub_ms - lb_ms) // interval_ms
     spark = raw.sparkSession
     sum_col, _ = _TIER_COLS[column]
@@ -184,12 +186,18 @@ def routed_downsample(
     parts = covered.unionByName(from_raw)
     if agg == Q.AVG:
         value = (F.sum("_sum") / F.sum("_cnt")).cast("double")
-        sentinel = F.lit(Q.DOUBLE_SENTINEL)
+        sentinel = (F.lit(None).cast("double") if sentinel_as_null
+                    else F.lit(Q.DOUBLE_SENTINEL))
     elif agg == Q.MAX:
         # native type + typed sentinel: identical schema to Q.downsample,
         # whether or not the tier grid aligned (ADVICE r01)
         value = F.max("_max")
-        sentinel = F.lit(Q.INT_SENTINEL) if int_col else F.lit(Q.DOUBLE_SENTINEL)
+        if sentinel_as_null:
+            sentinel = F.lit(None).cast(vtype)
+        elif int_col:
+            sentinel = F.lit(Q.INT_SENTINEL)
+        else:
+            sentinel = F.lit(Q.DOUBLE_SENTINEL)
     else:
         raise ValueError(f"unsupported agg {agg!r}")
     per_window = (parts.groupBy("_w")
