@@ -28,13 +28,15 @@ sequential fallback reader for foreign streams).
 # REBUILT on the next run instead of misparsed (ADVICE r02), and segment
 # snapshot commits record it in their meta for provenance.
 #  v3: mode-byte int codec + 1/2/4-bit-packed dictionary codes
-CODEC_VERSION = 3
+#  v4: blob_latency = float codec (mode byte: scaled-int | gorilla planes)
+CODEC_VERSION = 4
 
 from .varint import (
     zigzag_encode, zigzag_decode, varint_encode, varint_decode, varint_size,
 )
 from .dod import dod_encode, dod_decode, int_encode, int_decode
 from .gorilla import gorilla_encode, gorilla_decode
+from .floats import float_encode, float_decode
 from .strings import dict_encode, dict_decode, text_encode, text_decode
 from .framing import zstd_compress, zstd_decompress
 
@@ -44,6 +46,7 @@ __all__ = [
     "varint_size",
     "dod_encode", "dod_decode", "int_encode", "int_decode",
     "gorilla_encode", "gorilla_decode",
+    "float_encode", "float_decode",
     "dict_encode", "dict_decode", "text_encode", "text_decode",
     "zstd_compress", "zstd_decompress",
 ]

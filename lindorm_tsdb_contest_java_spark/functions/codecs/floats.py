@@ -1,0 +1,65 @@
+"""Float64 column codec: scaled-int fast path + Gorilla fallback.
+
+The canonical `latency_s` column is DERIVED as `latency_us / 1e6` — an
+int64 in disguise (sources/segments.py canonicalize). Gorilla XOR treats
+it as opaque mantissa bits and pays ~8 B/turn (measured: 32% of all
+segment bytes); re-quantizing to the integer micros and running the
+best-of-N int codec costs a fraction of that.
+
+`float_encode` tries the scaled path first and PROVES it lossless per
+block before committing: y = round(v * 1e6) must reconstruct v
+**bit-exactly** (`(y / 1e6).view(int64) == v.view(int64)`), which
+rejects NaN payloads, infinities, -0.0, values beyond the float64
+integer range, and any double that is not an exact micros quotient —
+those blocks fall back to the Gorilla planes codec unchanged. The check
+is two vectorized passes, far cheaper than the Gorilla bit-plane build
+it replaces on the fast path.
+
+Wire: <u8 mode> <payload>, mode 0 = int_encode(round(v*1e6)),
+mode 1 = gorilla_encode(v). Decode of mode 0 is `ints / 1e6` — the same
+IEEE double division both Spark and DuckDB evaluate, hence bit-exact to
+the canonical column by the encode-time proof.
+
+Capability analog of the reference's double path
+(`compress/DoubleCompress.java` dispatch + gorilla/ValueCompressor.java)
+— the reference also special-cases doubles that are scaled integers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .dod import int_decode, int_encode
+from .gorilla import gorilla_decode, gorilla_encode
+
+FLOAT_MODE_SCALED, FLOAT_MODE_GORILLA = 0, 1
+
+_SCALE = 1_000_000  # micros — the canonical latency quantum
+# |scaled| bound: int64-safe AND float64-integer-exact after round
+_MAX_SCALED = float(2**62)
+
+
+def float_encode(values: np.ndarray) -> bytes:
+    v = np.ascontiguousarray(values, dtype=np.float64)
+    if v.size == 0:
+        return bytes([FLOAT_MODE_SCALED]) + int_encode(v.astype(np.int64))
+    scaled = v * _SCALE
+    # isfinite also rejects NaN (round->astype(int64) is UB on those)
+    if np.isfinite(scaled).all() and (np.abs(scaled) < _MAX_SCALED).all():
+        yi = np.round(scaled).astype(np.int64)
+        recon = yi / _SCALE
+        if (recon.view(np.int64) == v.view(np.int64)).all():
+            return bytes([FLOAT_MODE_SCALED]) + int_encode(yi)
+    return bytes([FLOAT_MODE_GORILLA]) + gorilla_encode(v)
+
+
+def float_decode(blob: bytes) -> np.ndarray:
+    mode = blob[0]
+    if mode == FLOAT_MODE_SCALED:
+        return int_decode(blob[1:]) / _SCALE
+    if mode == FLOAT_MODE_GORILLA:
+        return gorilla_decode(blob[1:])
+    raise ValueError(
+        f"unknown float codec mode {mode}: not a float_encode blob "
+        "(legacy raw gorilla blobs must be decoded with gorilla_decode; "
+        "re-encode segments written by an older codec version)")

@@ -18,7 +18,8 @@ and AggBucket). Here a *segment* is one encoded row per
   aggregates skip decode entirely;
 - blobs: per-column codec output (ts/turn_idx/text_len → best-of-N int
   codec with a mode header byte, IntCompress.java:1178-1297 analog;
-  latency → Gorilla XOR planes; conv_id/role/tool → dict+zstd; text →
+  latency → float codec (scaled-int fast path, Gorilla XOR planes
+  fallback); conv_id/role/tool → dict+zstd; text →
   length-prefixed zstd stream).
 
 Rows inside a segment are sorted by the stable ``(conv_id, turn_idx, ts)``
@@ -39,7 +40,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions.codecs import (
-    dict_decode, dict_encode, gorilla_decode, gorilla_encode,
+    dict_decode, dict_encode, float_decode, float_encode,
     int_decode, int_encode, text_decode, text_encode,
 )
 from ..functions.codecs.strings import dict_decode_arrow, text_decode_arrow
@@ -199,7 +200,7 @@ def _encode_group_arrow(tbl: pa.Table) -> pa.Table:
         "blob_ts": int_encode(ts),
         "blob_turn_idx": int_encode(turn),
         "blob_text_len": int_encode(tlen),
-        "blob_latency": gorilla_encode(lat),
+        "blob_latency": float_encode(lat),
         "blob_conv_id": dict_encode(conv_arr),
         "blob_role": dict_encode(tbl.column("role").combine_chunks()),
         "blob_tool": dict_encode(tbl.column("tool").combine_chunks()),
@@ -319,7 +320,7 @@ def decode_segments(segments: DataFrame, columns: list[str] | None = None) -> Da
                         arrs.append(pa.array(
                             int_decode(d["blob_turn_idx"][seg].as_py()).astype(np.int32)))
                     elif c == "latency_s":
-                        arrs.append(pa.array(gorilla_decode(d["blob_latency"][seg].as_py())))
+                        arrs.append(pa.array(float_decode(d["blob_latency"][seg].as_py())))
                     elif c == "text":
                         arrs.append(text_decode_arrow(d["blob_text"][seg].as_py()))
                     else:  # conv_id, role, tool

@@ -309,3 +309,51 @@ def test_string_decode_rejects_unknown_mode():
     blob = bytes([7]) + b"\x00" * 16
     with pytest.raises(ValueError):
         dict_decode(blob)
+
+
+# ---------- float codec (scaled-int fast path + gorilla fallback) ----------
+
+from lindorm_tsdb_contest_java_spark.functions.codecs.floats import (  # noqa: E402
+    FLOAT_MODE_GORILLA, FLOAT_MODE_SCALED, float_decode, float_encode,
+)
+
+
+def test_float_scaled_path_on_micros_quotients():
+    us = RNG.integers(0, 3_600_000_000, size=4096)
+    lat = us / 1e6
+    blob = float_encode(lat)
+    assert blob[0] == FLOAT_MODE_SCALED
+    assert (float_decode(blob).view(np.uint64) == lat.view(np.uint64)).all()
+    # and it beats gorilla on its home turf
+    assert len(blob) < len(gorilla_encode(lat))
+
+
+@pytest.mark.parametrize("arr", FLOAT_CASES, ids=range(len(FLOAT_CASES)))
+def test_float_roundtrip_bit_exact_all_cases(arr):
+    back = float_decode(float_encode(arr))
+    assert back.shape == arr.shape
+    assert (back.view(np.uint64) == arr.view(np.uint64)).all()
+
+
+def test_float_fallback_rejects_non_quotients():
+    for arr in [
+        np.array([0.1, 0.2, np.pi]),                  # not micros quotients
+        np.array([np.nan, 1.0]),                      # NaN payload
+        np.array([np.inf, -np.inf]),                  # infinities
+        np.array([-0.0, 1.0]),                        # -0.0 sign bit
+        np.array([2.0**63, 1.0]),                     # beyond int64 scale
+    ]:
+        blob = float_encode(arr)
+        assert blob[0] == FLOAT_MODE_GORILLA
+        assert (float_decode(blob).view(np.uint64) == arr.view(np.uint64)).all()
+
+
+def test_float_unknown_mode_rejected():
+    with pytest.raises(ValueError, match="unknown float codec mode"):
+        float_decode(bytes([9, 0, 0]))
+
+
+def test_float_empty_and_single():
+    assert float_decode(float_encode(np.array([], np.float64))).size == 0
+    one = float_decode(float_encode(np.array([2.5])))
+    assert one.tolist() == [2.5]

@@ -43,3 +43,26 @@ def test_gorilla_roundtrip_prop(xs):
 def test_text_and_dict_roundtrip_prop(vals):
     assert list(text_decode(text_encode(vals))) == vals
     assert list(dict_decode(dict_encode(vals))) == vals
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(F64, max_size=300))
+def test_float_codec_roundtrip_prop(xs):
+    from lindorm_tsdb_contest_java_spark.functions.codecs.floats import (
+        float_decode, float_encode,
+    )
+    a = np.array(xs, dtype=np.float64)
+    back = float_decode(float_encode(a))
+    assert back.shape == a.shape
+    assert (back.view(np.uint64) == a.view(np.uint64)).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(-(2**53), 2**53), max_size=300))
+def test_float_codec_scaled_quotients_prop(us):
+    from lindorm_tsdb_contest_java_spark.functions.codecs.floats import (
+        float_decode, float_encode,
+    )
+    a = np.array(us, dtype=np.int64) / 1e6
+    back = float_decode(float_encode(a))
+    assert (back.view(np.uint64) == a.view(np.uint64)).all()
