@@ -43,7 +43,10 @@ def float_encode(values: np.ndarray) -> bytes:
     v = np.ascontiguousarray(values, dtype=np.float64)
     if v.size == 0:
         return bytes([FLOAT_MODE_SCALED]) + int_encode(v.astype(np.int64))
-    scaled = v * _SCALE
+    # inf * 1e6 -> inf and nan * 1e6 -> nan warn under numpy's default
+    # errstate; both land in the isfinite reject below, so silence it
+    with np.errstate(invalid="ignore", over="ignore"):
+        scaled = v * _SCALE
     # isfinite also rejects NaN (round->astype(int64) is UB on those)
     if np.isfinite(scaled).all() and (np.abs(scaled) < _MAX_SCALED).all():
         yi = np.round(scaled).astype(np.int64)

@@ -55,7 +55,14 @@ def _utf8_lengths_and_data(values) -> tuple[np.ndarray, bytes]:
     buffers = arr.buffers()
     offsets = np.frombuffer(buffers[1], dtype=np.int32, count=len(arr) + 1 + arr.offset)
     offsets = offsets[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
-    data = buffers[2].to_pybytes()[offsets[0] : offsets[-1]] if buffers[2] is not None else b""
+    # slice the Arrow buffer BEFORE materializing: for a sliced array the
+    # underlying data buffer is the whole parent allocation, and
+    # to_pybytes() on it would copy the entire parent per block
+    data = (
+        buffers[2].slice(int(offsets[0]), int(offsets[-1] - offsets[0])).to_pybytes()
+        if buffers[2] is not None
+        else b""
+    )
     lengths = np.diff(offsets)
     # decode rebuilds int32 StringArray offsets: a segment whose
     # concatenated UTF-8 exceeds 2^31 bytes would silently overflow them,
