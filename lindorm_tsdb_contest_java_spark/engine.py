@@ -111,6 +111,22 @@ class TranscriptTSDB:
             self._pipeline.run(self._raw.read(self.spark), input_snapshot=0)
         self._canon_cache = self._tier_cache = None
 
+    def apply_retention(self, policy, now_us: int | None = None,
+                        vacuum: bool = True,
+                        vacuum_grace_s: float = 3600.0) -> dict:
+        """Expire committed history per `policy` (ops/retention.py):
+        metadata-only partition drops + optional physical vacuum. The
+        coarse 1h/1d tiers and the latest tier are never expired, and
+        the next flush's cascade preserves their values over the expired
+        range (RollupPipeline._retention_stable). No reference analog —
+        the contest engine never deletes; this is the north-star
+        retention surface."""
+        from .ops.retention import apply_retention
+        out = apply_retention(self._pipeline, policy, now_us=now_us,
+                              vacuum=vacuum, vacuum_grace_s=vacuum_grace_s)
+        self._canon_cache = self._tier_cache = None
+        return out
+
     # ---------- read path: memtable-visible (buffered) ----------
 
     def _canonical(self) -> DataFrame:

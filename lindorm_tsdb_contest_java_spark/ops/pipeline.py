@@ -80,7 +80,10 @@ class LineageLog:
         self.table.append(pd.DataFrame([row]))
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return self.table.read(spark)
+        # jobs record different column sets (rollup chunk rows vs
+        # retention drop rows): merge schemas, absent fields read as null
+        return spark.read.option("mergeSchema", "true").parquet(
+            *self.table.file_paths())
 
 
 @dataclass
@@ -151,13 +154,48 @@ class RollupPipeline:
                 raise RuntimeError("simulated failure (test hook)")
             self._run_batch(canon, batch, fingerprints, input_snapshot, metrics)
 
-        # cascade the coarse tiers from the completed base tier (cheap, full rebuild)
+        # cascade the coarse tiers from the completed base tier (cheap
+        # rebuild, retention-stable: see _retention_stable)
         conv_1m = self.table("tier_conv_1m").read(self.spark)
         rate_1m = self.table("tier_rate_1m").read(self.spark)
+        floor_ms = self._tier_1m_floor_ms()
         for name, width in self.tiers.items():
-            self.table(f"tier_conv_{name}").overwrite(rollup_conv_tier(conv_1m, width))
-            self.table(f"tier_rate_{name}").overwrite(rollup_rate_tier(rate_1m, width))
+            for grain, base, rollup in (("conv", conv_1m, rollup_conv_tier),
+                                        ("rate", rate_1m, rollup_rate_tier)):
+                tbl = self.table(f"tier_{grain}_{name}")
+                tbl.overwrite(self._retention_stable(
+                    tbl, rollup(base, width), floor_ms, width))
         return metrics
+
+    def _tier_1m_floor_ms(self) -> int | None:
+        """Oldest ms the 1m tier is still CONTRACTED to hold, from the
+        retention state file `apply_retention` maintains. None (no
+        retention ever applied) keeps the cascade a plain full rebuild —
+        late data appended into any old bucket is picked up normally."""
+        from .retention import read_retention_floor_us
+        floor_us = read_retention_floor_us(self.root)
+        return None if floor_us is None else floor_us // 1000
+
+    def _retention_stable(self, tbl, rebuilt: DataFrame,
+                          floor_ms: int | None, width_ms: int) -> DataFrame:
+        """Coarse-tier rebuild that survives 1m expiry: a coarse bucket
+        whose 1m inputs were (even partially) expired keeps its
+        previously-materialized full value instead of being recomputed
+        from partial data — the continuous-aggregate retention semantic
+        (TimescaleDB drop_chunks + caggs). Buckets fully covered by the
+        current 1m tier (bucket start >= the cutover boundary, the first
+        width-aligned instant at/after the 1m floor) are rebuilt; older
+        buckets come from the existing coarse table where present, and
+        from the (partial) rebuild only where no materialized row exists.
+        With no retention ever applied, cutover <= data start and this
+        degenerates to the plain full rebuild."""
+        if floor_ms is None or not tbl.current().files:
+            return rebuilt
+        cutover = -(-floor_ms // width_ms) * width_ms  # ceil to tier grid
+        preserved = tbl.read(self.spark).filter(F.col("bucket_ms") < cutover)
+        frozen_buckets = preserved.select("bucket_ms").distinct()
+        return preserved.unionByName(
+            rebuilt.join(F.broadcast(frozen_buckets), "bucket_ms", "left_anti"))
 
     def _run_batch(self, canon: DataFrame, batch: list[int], fingerprints: dict,
                    input_snapshot: int, metrics: dict) -> None:

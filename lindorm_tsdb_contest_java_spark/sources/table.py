@@ -165,6 +165,63 @@ class SnapshotTable:
                       "partition_values": sorted(gone)})
         )
 
+    def drop_partitions(
+        self, partition_col: str, pred, meta: dict | None = None
+    ) -> tuple["Snapshot", list[dict]]:
+        """Metadata-only delete: commit a snapshot WITHOUT the files whose
+        `partition_col` value satisfies `pred` — no data file is read,
+        rewritten, or (yet) unlinked, so the commit is O(#files-in-
+        manifest) regardless of data volume (the Iceberg drop-partition
+        model; physical reclaim is `vacuum`). Files with no recorded value
+        for `partition_col` (e.g. full-overwrite snapshots) are never
+        dropped. Returns (snapshot, dropped-file manifest entries); a
+        no-op match returns (current, []) without committing."""
+        cur = self.current()
+        dropped, kept = [], []
+        for f in cur.files:
+            v = f.get("partition", {}).get(partition_col)
+            (dropped if v is not None and pred(v) else kept).append(f)
+        if not dropped:
+            return cur, []
+        snap = self._commit(
+            Snapshot(cur.snapshot_id + 1, cur.snapshot_id, "drop_partitions",
+                     kept, {**(meta or {}), "partition_col": partition_col,
+                            "dropped_files": len(dropped),
+                            "dropped_rows": sum(f["rows"] for f in dropped),
+                            "dropped_bytes": sum(f["bytes"] for f in dropped)}))
+        return snap, dropped
+
+    def vacuum(self, grace_s: float = 3600.0) -> dict:
+        """Physically delete data files not referenced by the CURRENT
+        snapshot (dropped partitions, replaced files, crashed-writer
+        orphans). Holds the commit lock, and skips files younger than
+        `grace_s` — an in-flight writer materializes files BEFORE taking
+        the lock, so the grace window is what protects its uncommitted
+        files (the same orphan-cleanup contract as Iceberg's
+        remove_orphan_files; tests pass grace_s=0 on quiesced tables)."""
+        lock = os.path.join(self.manifest_dir, "LOCK")
+        fd = self._acquire_lock(lock)
+        try:
+            live = {f["path"] for f in self.current().files}
+            now = __import__("time").time()
+            removed = removed_bytes = 0
+            for name in os.listdir(self.data_dir):
+                if name in live:
+                    continue
+                p = os.path.join(self.data_dir, name)
+                try:
+                    if now - os.path.getmtime(p) < grace_s:
+                        continue
+                    removed_bytes += os.path.getsize(p)
+                    os.remove(p)
+                    removed += 1
+                except FileNotFoundError:
+                    continue
+            return {"files_removed": removed, "bytes_reclaimed": removed_bytes}
+        finally:
+            os.close(fd)
+            os.unlink(lock)
+
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)
 
