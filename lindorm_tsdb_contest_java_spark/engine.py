@@ -39,6 +39,7 @@ schemas are independent of flush state.
 
 from __future__ import annotations
 
+import json
 import os
 
 import pandas as pd
@@ -51,8 +52,12 @@ from .operators.tiers import (
 from .ops.pipeline import RollupPipeline
 from .plans.router import routed_aggregate, routed_downsample
 from .sources.segments import (
-    CANONICAL_COLUMNS, canonicalize, time_range_from_segments,
+    CANONICAL_COLUMNS, DEFAULT_CHUNK_US, canonicalize, decode_segments,
+    time_range_from_segments,
 )
+
+# the write-API row shape (Row.java:32-46 analog)
+_INPUT_COLUMNS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
 from .sources.table import SnapshotTable
 
 AVG, MAX, EQUAL, GREATER = Q.AVG, Q.MAX, Q.EQUAL, Q.GREATER
@@ -92,15 +97,40 @@ class TranscriptTSDB:
         self._canon_cache = self._tier_cache = None
 
     def shutdown(self) -> None:
-        """Flush + durable commit, INCREMENTALLY: append the buffered batch
-        to the raw ingest log, then run the rollup pipeline over the
-        committed rows — its content fingerprints skip every time chunk
-        the append didn't touch, so a small batch re-encodes only its own
-        chunks (the reference's shutdown persists the memtable remainder,
-        not the whole store, TSDBEngineImpl.java:127-169). input_snapshot
-        is pinned to 0 because the fingerprints are content-addressed
-        (count + ts bounds + key hash-sum + codec version): they carry
-        across raw-table snapshots by construction."""
+        """Flush + durable commit with MEMTABLE-FLUSH cost, then retire
+        the ingest log — the reference's storage model taken all the way
+        (it persists only the memtable remainder at shutdown and keeps
+        only compressed blocks, TSDBEngineImpl.java:127-169):
+
+        1. The buffered batch is appended to the raw ingest log (crash
+           durability for the flush itself — a flush that dies resumes
+           from the log, re-runs idempotently via the content
+           fingerprints, then truncates).
+        2. **Fast path (forward appends, the overwhelming time-series
+           case):** when every batched row strictly extends its
+           conversation (turn_idx AND ts above the committed latest,
+           checked against the latest tier — no committed key
+           superseded), the pipeline runs over ONLY the touched time
+           chunks: their committed content decoded from segments, the
+           batch, and per-conv lag-context rows from the latest tier.
+           Cost is O(batch + touched chunks + latest tier), independent
+           of table history.
+        3. **Fallback (out-of-order / upsert-of-old-keys batches):** the
+           full canonical history is re-derived from the compressed
+           store itself (decode ∪ batch → canonicalize), and the
+           fingerprints still skip every unchanged chunk — correctness
+           is never conditional on the fast path's preconditions.
+        4. The raw log is truncated (metadata-only; vacuum reclaims):
+           committed storage is the segment store + tiers, nothing else.
+
+        The fast path additionally requires the committed data to be
+        per-conversation (turn_idx ⇔ ts)-ordered — true whenever every
+        prior flush was itself a fast flush; a fallback flush re-checks
+        the invariant on the full canonical and records it in
+        flush_state.json, so disordered history permanently (and
+        correctly) disables the shortcut. input_snapshot is pinned to 0:
+        fingerprints are content-addressed (count + ts bounds + key
+        hash-sum + codec version) and carry across snapshots."""
         if self._buffer:
             batch = self._buffer[0]
             for more in self._buffer[1:]:
@@ -108,8 +138,122 @@ class TranscriptTSDB:
             self._raw.append(batch)
             self._buffer = []
         if self._raw.current().files:
-            self._pipeline.run(self._raw.read(self.spark), input_snapshot=0)
+            new_rows = self._raw.read(self.spark).select(*_INPUT_COLUMNS)
+            if self._segments.current().files:
+                touched = self._fast_flush_chunks(new_rows)
+                if touched is not None:
+                    self._pipeline.run(
+                        self._fast_flush_input(new_rows, touched),
+                        input_snapshot=0, restrict_chunks=touched)
+                else:
+                    full = self._decoded_input().unionByName(new_rows)
+                    self._set_ordered(self._is_per_conv_ordered(full))
+                    self._pipeline.run(full, input_snapshot=0)
+            else:
+                self._set_ordered(self._is_per_conv_ordered(new_rows))
+                self._pipeline.run(new_rows, input_snapshot=0)
+            self._raw.truncate(meta={"reason": "flushed"})
+            self._raw.vacuum()
         self._canon_cache = self._tier_cache = None
+
+    # ---------- incremental-flush machinery ----------
+
+    def _decoded_input(self) -> DataFrame:
+        """The committed history in canonicalize-input form, re-derived
+        from the compressed store (per-turn text equality is the pinned
+        round-trip invariant, so this IS the original input modulo
+        upsert dedup — which canonicalize re-applies idempotently)."""
+        decoded = decode_segments(
+            self._segments.read(self.spark),
+            ["conv_id", "turn_idx", "role", "text", "tool", "ts_us"])
+        return (decoded.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+                .select(*_INPUT_COLUMNS))
+
+    def _fast_flush_chunks(self, new_rows: DataFrame) -> list[int] | None:
+        """Touched time chunks when the batch qualifies for the O(batch)
+        flush, else None. Qualifies iff (a) committed history is
+        per-conv ordered (flush_state.json), (b) the batch has no
+        duplicate (conv, turn) and is internally (turn ⇔ ts)-ordered,
+        and (c) every row strictly extends its conversation past the
+        committed latest (turn_idx and ts both greater) — so no
+        committed key anywhere can be superseded and every lag
+        predecessor is a latest-tier row."""
+        from pyspark.sql.window import Window
+
+        if not self._get_ordered():
+            return None
+        nr = new_rows.withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        internal_bad = (nr.select(
+            "conv_id", "turn_idx", "ts_us",
+            F.lag("turn_idx").over(w).alias("_pt"),
+            F.lag("ts_us").over(w).alias("_pts"))
+            .filter((F.col("_pt") == F.col("turn_idx"))
+                    | (F.col("_pts") >= F.col("ts_us"))))
+        if internal_bad.limit(1).count():
+            return None
+        latest = latest_from_tier(
+            self._tier_latest.read(self.spark), columns=["turn_idx", "ts_us"])
+        firsts = nr.groupBy("conv_id").agg(
+            F.min("turn_idx").alias("_bt"), F.min("ts_us").alias("_bts"))
+        vs_committed_bad = (firsts.join(latest, "conv_id")
+                            .filter((F.col("_bt") <= F.col("turn_idx"))
+                                    | (F.col("_bts") <= F.col("ts_us"))))
+        if vs_committed_bad.limit(1).count():
+            return None
+        chunk_us = self._pipeline.chunk_us or DEFAULT_CHUNK_US
+        rows = (nr.select(F.floor(F.col("ts_us") / F.lit(chunk_us))
+                          .cast("long").alias("c")).distinct().collect())
+        return sorted(int(r["c"]) for r in rows)
+
+    def _fast_flush_input(self, new_rows: DataFrame,
+                          touched: list[int]) -> DataFrame:
+        """batch ∪ committed content of the touched chunks (decoded) ∪
+        lag-context rows (latest-tier rows from untouched chunks for the
+        involved conversations — each conversation's newest committed
+        turn below a touched chunk, which is exactly the turn_idx-lag
+        predecessor under the fast path's ordering precondition).
+        Context rows live outside the restricted chunks, so run() drops
+        them after the windows; a context row whose chunk IS touched
+        duplicates its decoded sibling and upsert-dedup keeps one."""
+        seg = self._segments.read(self.spark).filter(
+            F.col("time_chunk").isin([int(c) for c in touched]))
+        decoded = (decode_segments(
+            seg, ["conv_id", "turn_idx", "role", "text", "tool", "ts_us"])
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            .select(*_INPUT_COLUMNS))
+        tier = self._tier_latest.read(self.spark)
+        convs = (new_rows.select("conv_id")
+                 .unionByName(decoded.select("conv_id")).distinct())
+        context = (tier.filter(~F.col("time_chunk")
+                               .isin([int(c) for c in touched]))
+                   .join(F.broadcast(convs), "conv_id", "left_semi")
+                   .select(*_INPUT_COLUMNS))
+        return new_rows.unionByName(decoded).unionByName(context)
+
+    def _is_per_conv_ordered(self, rows: DataFrame) -> bool:
+        """Post-dedup, is (turn_idx asc ⇒ ts strictly asc) within every
+        conversation? Negative canonical latency is exactly a violation
+        (lag is by turn_idx; equal-ts ties cannot diverge)."""
+        canon = canonicalize(rows, n_buckets=self.n_buckets, grain="conv")
+        return canon.filter(F.col("latency_s") < 0).limit(1).count() == 0
+
+    def _flush_state_path(self) -> str:
+        return os.path.join(self.root, "flush_state.json")
+
+    def _get_ordered(self) -> bool:
+        try:
+            with open(self._flush_state_path()) as f:
+                return bool(json.load(f).get("per_conv_ordered", True))
+        except (FileNotFoundError, json.JSONDecodeError):
+            return True
+
+    def _set_ordered(self, ordered: bool) -> None:
+        tmp = self._flush_state_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"per_conv_ordered": bool(ordered)}, f)
+        os.replace(tmp, self._flush_state_path())
 
     def apply_retention(self, policy, now_us: int | None = None,
                         vacuum: bool = True,
@@ -134,8 +278,14 @@ class TranscriptTSDB:
         if self._canon_cache is not None:
             return self._canon_cache
         parts = []
+        # committed history lives in the segment store (the raw log is
+        # truncated after every flush); a non-empty raw log additionally
+        # holds a crash-recoverable un-flushed batch — union both, the
+        # upsert dedup collapses any transitional overlap
+        if self._segments.current().files:
+            parts.append(self._decoded_input())
         if self._raw.current().files:
-            parts.append(self._raw.read(self.spark))
+            parts.append(self._raw.read(self.spark).select(*_INPUT_COLUMNS))
         parts.extend(self._buffer)
         if not parts:
             raise ValueError("no data written yet")

@@ -114,10 +114,23 @@ class RollupPipeline:
     def table(self, name: str) -> SnapshotTable:
         return SnapshotTable.create(os.path.join(self.root, name))
 
-    def run(self, transcripts: DataFrame, input_snapshot: int = 0) -> dict:
-        """Process every time_chunk not yet checkpointed. Returns metrics."""
+    def run(self, transcripts: DataFrame, input_snapshot: int = 0,
+            restrict_chunks: list[int] | None = None) -> dict:
+        """Process every time_chunk not yet checkpointed. Returns metrics.
+
+        `restrict_chunks` is the engine's incremental-flush contract: the
+        input then contains (a) the full content of exactly those chunks
+        plus (b) out-of-chunk context rows needed only for the cross-
+        chunk window derivations (per-conv latency lag); rows outside the
+        restricted chunks are dropped AFTER canonicalize, so fingerprints
+        and encodes cover only the touched chunks while lag still sees
+        each conversation's predecessor."""
         kwargs = {"chunk_us": self.chunk_us} if self.chunk_us else {}
-        canon = canonicalize(transcripts, n_buckets=self.n_buckets, **kwargs).cache()
+        canon = canonicalize(transcripts, n_buckets=self.n_buckets, **kwargs)
+        if restrict_chunks is not None:
+            canon = canon.filter(
+                F.col("time_chunk").isin([int(c) for c in restrict_chunks]))
+        canon = canon.cache()
         try:
             return self._run_chunks(canon, input_snapshot)
         finally:

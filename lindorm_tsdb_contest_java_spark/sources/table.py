@@ -165,6 +165,18 @@ class SnapshotTable:
                       "partition_values": sorted(gone)})
         )
 
+    def truncate(self, meta: dict | None = None) -> "Snapshot":
+        """Metadata-only: commit an empty snapshot (no file read or
+        deleted — `vacuum` reclaims the orphaned data). Used to retire
+        the engine's raw ingest log after a successful flush: the
+        compressed store is the single source of truth from then on."""
+        cur = self.current()
+        if not cur.files:
+            return cur
+        return self._commit(
+            Snapshot(cur.snapshot_id + 1, cur.snapshot_id, "truncate",
+                     [], meta or {}))
+
     def drop_partitions(
         self, partition_col: str, pred, meta: dict | None = None
     ) -> tuple["Snapshot", list[dict]]:

@@ -1,0 +1,131 @@
+"""Memtable-cost flush + ingest-log retirement (engine.shutdown).
+
+- a forward-append second flush takes the fast path and produces
+  BIT-IDENTICAL state to a single all-at-once flush (all tables);
+- untouched chunks' segment files are not rewritten;
+- the raw ingest log is truncated after every flush (committed storage
+  is the compressed store only) and buffered reads still see
+  committed ∪ buffer;
+- an upsert of an old key is refused by the fast path, falls back to
+  the decode-∪-batch full run, and converges to the from-scratch state;
+- a reconnect after incremental flushes answers identically.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from lindorm_tsdb_contest_java_spark import engine as EM
+from lindorm_tsdb_contest_java_spark.engine import _INPUT_COLUMNS
+from lindorm_tsdb_contest_java_spark.sources.generator import generate_transcripts
+
+from test_pipeline import TABLES, _hashes
+
+
+def _pdf():
+    return generate_transcripts(n_conv=60, mean_turns=30, seed=11)
+
+
+def _connect(spark, tmp_path, name):
+    return EM.connect(spark, str(tmp_path / name), n_buckets=8)
+
+
+def _flush_all(eng, spark, pdf):
+    eng.write(spark.createDataFrame(pdf))
+    eng.shutdown()
+
+
+def test_forward_append_flush_is_fast_and_bit_identical(spark, tmp_path):
+    pdf = _pdf()
+    cut = pdf["ts"].quantile(0.7)
+    part1, part2 = pdf[pdf.ts <= cut], pdf[pdf.ts > cut]
+
+    one = _connect(spark, tmp_path, "one")
+    _flush_all(one, spark, pdf)
+
+    two = _connect(spark, tmp_path, "two")
+    _flush_all(two, spark, part1)
+    files_before = {f["path"]: f for f in two._segments.current().files}
+    chunks_before = {f["partition"]["time_chunk"]
+                     for f in two._segments.current().files}
+
+    batch2 = spark.createDataFrame(part2).select(*_INPUT_COLUMNS)
+    touched = two._fast_flush_chunks(batch2)
+    assert touched is not None and touched, "forward append must be eligible"
+    _flush_all(two, spark, part2)
+
+    # untouched chunks: the same files, byte-for-byte the same manifest
+    # entries — the fast flush never rewrote them
+    untouched = chunks_before - set(touched)
+    assert untouched, "fixture must leave some chunks untouched"
+    after = {f["path"]: f for f in two._segments.current().files}
+    for path, f in files_before.items():
+        if f["partition"]["time_chunk"] in untouched:
+            assert after.get(path) == f
+
+    # every table bit-identical to the single-flush engine
+    h_one = _hashes(spark, str(tmp_path / "one"))
+    h_two = _hashes(spark, str(tmp_path / "two"))
+    assert h_one == h_two
+
+    # reconnect: same answers as the single-flush engine
+    re = _connect(spark, tmp_path, "two")
+    assert sorted(map(str, re.execute_latest_query().collect())) == \
+        sorted(map(str, one.execute_latest_query().collect()))
+
+
+def test_raw_log_truncated_and_buffered_reads_complete(spark, tmp_path):
+    pdf = _pdf()
+    cut = pdf["ts"].quantile(0.7)
+    part1, part2 = pdf[pdf.ts <= cut], pdf[pdf.ts > cut]
+    eng = _connect(spark, tmp_path, "t")
+    _flush_all(eng, spark, part1)
+    assert eng._raw.current().files == [], "ingest log must be retired"
+
+    # buffered state: committed (from segments) ∪ buffer both visible
+    eng.write(spark.createDataFrame(part2))
+    n = eng._canonical().count()
+    assert n == len(pdf.drop_duplicates(subset=["conv_id", "turn_idx"]))
+    eng.shutdown()
+    assert eng._raw.current().files == []
+    assert eng._get_ordered() is True
+
+
+def test_old_key_upsert_falls_back_and_converges(spark, tmp_path):
+    pdf = _pdf().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    eng = _connect(spark, tmp_path, "u")
+    _flush_all(eng, spark, pdf)
+
+    # rewrite an existing key with a newer ts that lands AFTER a later
+    # turn's ts — superseding write + order violation in one
+    import pandas as pd
+    victim = pdf.iloc[[5]].copy()
+    victim["text"] = "rewritten-payload"
+    victim["ts"] = victim["ts"] + pd.Timedelta(days=400)
+    batch = spark.createDataFrame(victim).select(*_INPUT_COLUMNS)
+    assert eng._fast_flush_chunks(batch) is None, \
+        "old-key upsert must not take the fast path"
+    _flush_all(eng, spark, victim)
+    assert eng._get_ordered() is False
+
+    # from-scratch truth over the same total input
+    truth = _connect(spark, tmp_path, "truth")
+    _flush_all(truth, spark, pdf.drop(pdf.index[5]))
+    _flush_all(truth, spark, victim)
+    got = sorted(map(str, eng._decoded_input().collect()))
+    want = sorted(map(str, truth._decoded_input().collect()))
+    assert got == want
+    # the superseded text is gone, the rewrite is present
+    texts = [r["text"] for r in eng._decoded_input()
+             .filter((F.col("conv_id") == victim["conv_id"].iloc[0])
+                     & (F.col("turn_idx") == int(victim["turn_idx"].iloc[0])))
+             .collect()]
+    assert texts == ["rewritten-payload"]
+
+    # ordered=false now permanently refuses the fast path, even for a
+    # perfectly forward batch
+    fresh = pdf.iloc[[0]].copy()
+    fresh["turn_idx"] = 10_000
+    fresh["ts"] = pdf["ts"].max() + pd.Timedelta(days=500)
+    assert eng._fast_flush_chunks(
+        spark.createDataFrame(fresh).select(*_INPUT_COLUMNS)) is None
