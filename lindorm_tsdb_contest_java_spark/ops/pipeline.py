@@ -63,6 +63,32 @@ class Checkpoint:
             entry = {"input_snapshot": input_snapshot, "done": {}}
         entry["done"][str(chunk)] = fingerprint
         st[job] = entry
+        self._save(st)
+
+    def cascade_pending(self) -> set[int]:
+        """Chunks whose base-tier (1m) content changed since the coarse
+        cascade last covered them — the crash-safe to-do list for the
+        incremental 1h/1d rebuild. Written BEFORE the cascade runs and
+        cleared after, so a crash between the two re-cascades those
+        windows on resume (the rebuild is an idempotent partition
+        overwrite)."""
+        return {int(c) for c in self._load().get("cascade_pending", [])}
+
+    def add_cascade_pending(self, chunks) -> None:
+        st = self._load()
+        st["cascade_pending"] = sorted(
+            {int(c) for c in st.get("cascade_pending", [])}
+            | {int(c) for c in chunks})
+        self._save(st)
+
+    def clear_cascade_pending(self, chunks) -> None:
+        st = self._load()
+        st["cascade_pending"] = sorted(
+            {int(c) for c in st.get("cascade_pending", [])}
+            - {int(c) for c in chunks})
+        self._save(st)
+
+    def _save(self, st: dict) -> None:
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(st, f, sort_keys=True)
@@ -78,6 +104,12 @@ class LineageLog:
 
     def record(self, **row) -> None:
         self.table.append(pd.DataFrame([row]))
+
+    def record_many(self, rows: list[dict]) -> None:
+        """One append (one file, one commit) for a whole batch of lineage
+        rows — per-row appends would rewrite the manifest N times."""
+        if rows:
+            self.table.append(pd.DataFrame(rows))
 
     def read(self, spark: SparkSession) -> DataFrame:
         # jobs record different column sets (rollup chunk rows vs
@@ -167,48 +199,91 @@ class RollupPipeline:
                 raise RuntimeError("simulated failure (test hook)")
             self._run_batch(canon, batch, fingerprints, input_snapshot, metrics)
 
-        # cascade the coarse tiers from the completed base tier (cheap
-        # rebuild, retention-stable: see _retention_stable)
+        self._cascade()
+        return metrics
+
+    def _cascade(self) -> None:
+        """INCREMENTAL 1h/1d rebuild: recompute only the coarse windows
+        whose 1m inputs changed (the checkpoint's crash-safe pending
+        set), as partition-scoped replaces — O(changed windows), not
+        O(full 1m tier), so flush cost stays independent of history.
+
+        Retention interplay (the continuous-aggregate semantic,
+        TimescaleDB drop_chunks + caggs): windows starting below the
+        persisted retention floor are NEVER recomputed — their coarse
+        rows keep the full values materialized before the fine inputs
+        expired. An idempotent re-run (no pending chunks) skips the
+        cascade entirely, which is also what makes expired-range coarse
+        history bit-stable across runs."""
+        pending = self.checkpoint.cascade_pending()
+        if not pending:
+            return
         conv_1m = self.table("tier_conv_1m").read(self.spark)
         rate_1m = self.table("tier_rate_1m").read(self.spark)
         floor_ms = self._tier_1m_floor_ms()
         for name, width in self.tiers.items():
             for grain, base, rollup in (("conv", conv_1m, rollup_conv_tier),
                                         ("rate", rate_1m, rollup_rate_tier)):
-                tbl = self.table(f"tier_{grain}_{name}")
-                tbl.overwrite(self._retention_stable(
-                    tbl, rollup(base, width), floor_ms, width))
-        return metrics
+                self._cascade_tier(self.table(f"tier_{grain}_{name}"),
+                                   base, rollup, width, pending, floor_ms)
+        self.checkpoint.clear_cascade_pending(pending)
+
+    def _cascade_tier(self, tbl, base: DataFrame, rollup, width_ms: int,
+                      pending: set[int], floor_ms: int | None) -> None:
+        chunk_us = self.chunk_us or DEFAULT_CHUNK_US
+        width_us = width_ms * 1_000
+        chunk_of = (F.floor(F.col("bucket_ms") * 1000 / F.lit(chunk_us))
+                    .cast("long").alias("time_chunk"))
+        aligned = width_us % chunk_us == 0 or chunk_us % width_us == 0
+        legacy = any("time_chunk" not in f.get("partition", {})
+                     for f in tbl.current().files)
+        if not aligned or legacy:
+            # misaligned tier grid (windows straddle chunk partitions) or
+            # a pre-partitioned layout: one atomic full rebuild that also
+            # migrates the layout. Correctness-first fallback; the
+            # default 6h chunks align with both 1h and 1d.
+            tbl.overwrite_partitioned(
+                rollup(base, width_ms).withColumn("time_chunk", chunk_of),
+                "time_chunk")
+            return
+        # affected window starts (ms) = every width-aligned window
+        # intersecting a pending chunk, minus retention-frozen ones
+        windows: set[int] = set()
+        for c in pending:
+            lo_ms = c * chunk_us // 1000
+            hi_ms = (c + 1) * chunk_us // 1000
+            w = (lo_ms // width_ms) * width_ms
+            while w < hi_ms:
+                windows.add(w)
+                w += width_ms
+        if floor_ms is not None:
+            cutover = -(-floor_ms // width_ms) * width_ms
+            windows = {w for w in windows if w >= cutover}
+        if not windows:
+            return
+        # chunk-level pruning: 1m inputs AND replaced partitions are the
+        # chunks covered by the affected windows (windows cover pending
+        # chunks exactly when width <= chunk; a wider window pulls in its
+        # sibling chunks so its single output row aggregates fully)
+        needed = sorted({ch for w in windows
+                         for ch in range(w * 1000 // chunk_us,
+                                         (w + width_ms) * 1000 // chunk_us)})
+        win_col = (F.floor(F.col("bucket_ms") / F.lit(width_ms))
+                   * F.lit(width_ms))
+        part = base.filter(F.col("time_chunk").isin(needed)).filter(
+            win_col.isin(sorted(windows)))
+        tbl.overwrite_partitions_multi(
+            rollup(part, width_ms).withColumn("time_chunk", chunk_of),
+            "time_chunk", needed)
 
     def _tier_1m_floor_ms(self) -> int | None:
         """Oldest ms the 1m tier is still CONTRACTED to hold, from the
         retention state file `apply_retention` maintains. None (no
-        retention ever applied) keeps the cascade a plain full rebuild —
-        late data appended into any old bucket is picked up normally."""
+        retention ever applied) = no frozen windows — late data
+        backfilled into any old bucket is picked up normally."""
         from .retention import read_retention_floor_us
         floor_us = read_retention_floor_us(self.root)
         return None if floor_us is None else floor_us // 1000
-
-    def _retention_stable(self, tbl, rebuilt: DataFrame,
-                          floor_ms: int | None, width_ms: int) -> DataFrame:
-        """Coarse-tier rebuild that survives 1m expiry: a coarse bucket
-        whose 1m inputs were (even partially) expired keeps its
-        previously-materialized full value instead of being recomputed
-        from partial data — the continuous-aggregate retention semantic
-        (TimescaleDB drop_chunks + caggs). Buckets fully covered by the
-        current 1m tier (bucket start >= the cutover boundary, the first
-        width-aligned instant at/after the 1m floor) are rebuilt; older
-        buckets come from the existing coarse table where present, and
-        from the (partial) rebuild only where no materialized row exists.
-        With no retention ever applied, cutover <= data start and this
-        degenerates to the plain full rebuild."""
-        if floor_ms is None or not tbl.current().files:
-            return rebuilt
-        cutover = -(-floor_ms // width_ms) * width_ms  # ceil to tier grid
-        preserved = tbl.read(self.spark).filter(F.col("bucket_ms") < cutover)
-        frozen_buckets = preserved.select("bucket_ms").distinct()
-        return preserved.unionByName(
-            rebuilt.join(F.broadcast(frozen_buckets), "bucket_ms", "left_anti"))
 
     def _run_batch(self, canon: DataFrame, batch: list[int], fingerprints: dict,
                    input_snapshot: int, metrics: dict) -> None:
@@ -254,20 +329,21 @@ class RollupPipeline:
         # latest tier: per-(conv, chunk) newest row — MapIndex.getLast analog
         self.table("tier_latest").overwrite_partitions_multi(
             build_latest_tier(part), "time_chunk", [int(c) for c in batch])
+        # these chunks' 1m content changed: their coarse windows need the
+        # cascade (recorded BEFORE it runs — crash-safe re-do list)
+        self.checkpoint.add_cascade_pending(batch)
 
         wall = time.perf_counter() - t0
         total_rows = sum(r for r, _ in stats.values()) or 1
-        for chunk in sorted(new_files):
-            n_rows, _ = stats.get(chunk, (0, 0))
-            enc = stats.get(chunk, (0, 0))[1]
-            self.lineage.record(
-                job="rollup", phase="chunk", time_chunk=chunk,
-                input_snapshot=input_snapshot,
-                input_files=",".join(sorted(new_files[chunk])),
-                row_count=n_rows, encoded_bytes=enc,
-                # the batch runs as one job: wall time apportioned by rows
-                wall_s=wall * n_rows / total_rows,
-            )
+        self.lineage.record_many([
+            dict(job="rollup", phase="chunk", time_chunk=chunk,
+                 input_snapshot=input_snapshot,
+                 input_files=",".join(sorted(new_files[chunk])),
+                 row_count=stats.get(chunk, (0, 0))[0],
+                 encoded_bytes=stats.get(chunk, (0, 0))[1],
+                 # the batch runs as one job: wall apportioned by rows
+                 wall_s=wall * stats.get(chunk, (0, 0))[0] / total_rows)
+            for chunk in sorted(new_files)])
         for chunk in batch:
             self.checkpoint.mark_done("rollup", input_snapshot, int(chunk),
                                       fingerprints[int(chunk)])

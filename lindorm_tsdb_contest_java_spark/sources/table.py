@@ -165,6 +165,21 @@ class SnapshotTable:
                       "partition_values": sorted(gone)})
         )
 
+    def overwrite_partitioned(
+        self, df: DataFrame, partition_col: str,
+        meta: dict | None = None, sort_within: list[str] | None = None,
+    ) -> Snapshot:
+        """Full-table overwrite whose files RECORD their partition value
+        (one atomic commit): the migration / fallback path to a
+        partition-tracked layout, after which partition-scoped replaces
+        and drops apply."""
+        files = self._materialize_spark_partitioned(df, partition_col,
+                                                    sort_within=sort_within)
+        cur = self.current()
+        return self._commit(
+            Snapshot(cur.snapshot_id + 1, cur.snapshot_id, "overwrite",
+                     files, {**(meta or {}), "partition_col": partition_col}))
+
     def truncate(self, meta: dict | None = None) -> "Snapshot":
         """Metadata-only: commit an empty snapshot (no file read or
         deleted — `vacuum` reclaims the orphaned data). Used to retire
