@@ -100,3 +100,40 @@ def run_available_now(tier: DataFrame, out_dir: str, checkpoint_dir: str) -> Non
          .option("checkpointLocation", checkpoint_dir)
          .start(out_dir))
     q.awaitTermination()
+
+
+def stream_into_store(spark: SparkSession, landing_dir: str, root: str,
+                      checkpoint_dir: str, n_buckets: int = 16):
+    """Continuous ingestion INTO THE ENGINE'S COMPRESSED STORE: each
+    micro-batch is an engine write + memtable-cost flush, so a stream of
+    landing files becomes encoded segments + maintained tiers with
+    per-batch cost O(batch), independent of table history (the fast
+    flush path; engine.shutdown). The reference's closest analog is its
+    250-row memtable flush loop (memory/MemoryTable.java:67-70) running
+    forever.
+
+    Restart safety is double-layered: the streaming checkpoint replays
+    any batch whose flush didn't complete, and the pipeline's content
+    fingerprints make the replayed flush a no-op for already-committed
+    chunks — effective exactly-once into the store. Returns the engine
+    (caller queries it directly)."""
+    from ..engine import TranscriptTSDB
+
+    eng = TranscriptTSDB(spark, root, n_buckets=n_buckets)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # the flush reads the streaming frame exactly once (the durable
+        # raw append); every later job reads the appended parquet back,
+        # so no multi-pass-over-streaming-frame hazard
+        eng.write(batch_df)
+        eng.shutdown()
+
+    q = (read_transcript_stream(spark, landing_dir)
+         .writeStream.foreachBatch(sink)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", checkpoint_dir)
+         .start())
+    q.awaitTermination()
+    return eng

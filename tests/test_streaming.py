@@ -126,3 +126,40 @@ def test_streaming_latest_stateful_equals_batch(spark, small_pdf, tmp_path):
         assert final.loc[conv, "ts_us"] == row["ts_us"], conv
         assert final.loc[conv, "turn_idx"] == row["turn_idx"], conv
         assert final.loc[conv, "text"] == row["text"], conv
+
+
+def test_stream_into_store_equals_batch_engine(spark, tmp_path):
+    """Landing files -> compressed store via foreachBatch micro-flushes:
+    answers equal a batch engine fed the same data in one write, a
+    re-run with a new landing file processes ONLY that file (streaming
+    checkpoint) through the fast flush path, and the store stays the
+    only storage (raw log retired per batch)."""
+    from lindorm_tsdb_contest_java_spark import engine as EM
+    from lindorm_tsdb_contest_java_spark.streaming.ingest import stream_into_store
+
+    pdf = generate_transcripts(n_conv=40, mean_turns=25, seed=7)
+    pdf = pdf.sort_values("ts").reset_index(drop=True)
+    third = len(pdf) // 3
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    write_transcripts_parquet(pdf.iloc[:third], f"{landing}/b1.parquet")
+    write_transcripts_parquet(pdf.iloc[third:2 * third], f"{landing}/b2.parquet")
+
+    root = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt2")
+    eng = stream_into_store(spark, landing, root, ckpt, n_buckets=8)
+    assert eng._raw.current().files == []  # log retired after each flush
+
+    # resume: one more landing file, only it is processed
+    write_transcripts_parquet(pdf.iloc[2 * third:], f"{landing}/b3.parquet")
+    eng = stream_into_store(spark, landing, root, ckpt, n_buckets=8)
+
+    batch_eng = EM.connect(spark, str(tmp_path / "batch"), n_buckets=8)
+    batch_eng.write(spark.createDataFrame(pdf))
+    batch_eng.shutdown()
+
+    assert sorted(map(str, eng.execute_latest_query().collect())) == \
+        sorted(map(str, batch_eng.execute_latest_query().collect()))
+    got = sorted(map(str, eng._decoded_input().collect()))
+    want = sorted(map(str, batch_eng._decoded_input().collect()))
+    assert got == want
