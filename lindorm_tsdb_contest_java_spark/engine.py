@@ -53,7 +53,7 @@ from .ops.pipeline import RollupPipeline
 from .plans.router import routed_aggregate, routed_downsample
 from .sources.segments import (
     CANONICAL_COLUMNS, DEFAULT_CHUNK_US, canonicalize, decode_segments,
-    time_range_from_segments,
+    time_range_from_segments, with_ts,
 )
 
 # the write-API row shape (Row.java:32-46 analog)
@@ -155,6 +155,46 @@ class TranscriptTSDB:
             self._raw.truncate(meta={"reason": "flushed"})
             self._raw.vacuum()
         self._canon_cache = self._tier_cache = None
+
+    def register_views(self, prefix: str = "") -> list[str]:
+        """Expose the committed store to `spark.sql` as temp views:
+
+        - `{p}transcripts`      decoded per-turn rows, every column
+        - `{p}transcripts_meta` the metadata projection (conv_id,
+                                turn_idx, role, tool, ts_us, text_len,
+                                latency_s): `text` blobs are pruned at
+                                the parquet scan — SQL projections can't
+                                push through mapInArrow, so the cheap
+                                projection is its own view
+        - `{p}segments`       the encoded segment rows + zone-map stats
+        - `{p}tier_conv_1m/1h/1d`, `{p}tier_rate_1m/1h/1d`
+        - `{p}tier_latest`    per-(conv, chunk) newest rows
+        - `{p}lineage`        per-partition write/expiry metrics
+
+        Views are snapshot-pinned (they wrap the CURRENT manifest's file
+        list): re-register after a flush to see new commits."""
+        names = []
+
+        def reg(name, df):
+            df.createOrReplaceTempView(prefix + name)
+            names.append(prefix + name)
+
+        if self._segments.current().files:
+            seg = self._segments.read(self.spark)
+            reg("segments", seg)
+            reg("transcripts", with_ts(decode_segments(seg)))
+            reg("transcripts_meta", decode_segments(
+                seg, ["conv_id", "turn_idx", "role", "tool",
+                      "ts_us", "text_len", "latency_s"]))
+        for t in ("tier_conv_1m", "tier_conv_1h", "tier_conv_1d",
+                  "tier_rate_1m", "tier_rate_1h", "tier_rate_1d",
+                  "tier_latest"):
+            tbl = self._pipeline.table(t)
+            if tbl.current().files:
+                reg(t, tbl.read(self.spark))
+        if self._pipeline.lineage.table.current().files:
+            reg("lineage", self._pipeline.lineage.read(self.spark))
+        return names
 
     # ---------- incremental-flush machinery ----------
 
