@@ -266,9 +266,11 @@ class TranscriptTSDB:
         tier = self._tier_latest.read(self.spark)
         convs = (new_rows.select("conv_id")
                  .unionByName(decoded.select("conv_id")).distinct())
+        # no forced broadcast: a touched chunk can hold millions of
+        # conversations at scale — let AQE pick the semi-join strategy
         context = (tier.filter(~F.col("time_chunk")
                                .isin([int(c) for c in touched]))
-                   .join(F.broadcast(convs), "conv_id", "left_semi")
+                   .join(convs, "conv_id", "left_semi")
                    .select(*_INPUT_COLUMNS))
         return new_rows.unionByName(decoded).unionByName(context)
 

@@ -270,8 +270,20 @@ class RollupPipeline:
                                          (w + width_ms) * 1000 // chunk_us)})
         win_col = (F.floor(F.col("bucket_ms") / F.lit(width_ms))
                    * F.lit(width_ms))
-        part = base.filter(F.col("time_chunk").isin(needed)).filter(
-            win_col.isin(sorted(windows)))
+        if len(windows) <= 256:
+            part = base.filter(F.col("time_chunk").isin(needed)).filter(
+                win_col.isin(sorted(windows)))
+        else:
+            # a first build / wide backfill would put thousands of
+            # literals in the plan; the contiguous hull is equally
+            # correct (idempotent recompute of any interior window) and
+            # keeps the predicate O(1) — parquet min/max pruning applies
+            lo, hi = min(windows), max(windows) + width_ms
+            part = base.filter(
+                (F.col("time_chunk") >= needed[0])
+                & (F.col("time_chunk") <= needed[-1])
+                & (F.col("bucket_ms") >= lo) & (F.col("bucket_ms") < hi))
+            needed = list(range(needed[0], needed[-1] + 1))
         tbl.overwrite_partitions_multi(
             rollup(part, width_ms).withColumn("time_chunk", chunk_of),
             "time_chunk", needed)
