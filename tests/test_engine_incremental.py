@@ -129,3 +129,37 @@ def test_old_key_upsert_falls_back_and_converges(spark, tmp_path):
     fresh["ts"] = pdf["ts"].max() + pd.Timedelta(days=500)
     assert eng._fast_flush_chunks(
         spark.createDataFrame(fresh).select(*_INPUT_COLUMNS)) is None
+
+
+def test_flush_crash_between_run_and_truncate_recovers(spark, tmp_path):
+    """Simulate a flush that committed the pipeline but died before
+    retiring the raw log: the next shutdown re-processes the leftover
+    batch (ineligible for the fast path — its keys now equal the
+    committed latest — so it falls back), converges with zero chunks
+    re-run, and retires the log. State equals the clean two-flush run."""
+    pdf = _pdf()
+    cut = pdf["ts"].quantile(0.7)
+    part1, part2 = pdf[pdf.ts <= cut], pdf[pdf.ts > cut]
+
+    clean = _connect(spark, tmp_path, "clean")
+    _flush_all(clean, spark, part1)
+    _flush_all(clean, spark, part2)
+
+    crash = _connect(spark, tmp_path, "crash")
+    _flush_all(crash, spark, part1)
+    # crashed flush: batch appended + pipeline run, truncate never reached
+    batch = spark.createDataFrame(part2).select(*_INPUT_COLUMNS)
+    crash._raw.append(batch)
+    new_rows = crash._raw.read(spark).select(*_INPUT_COLUMNS)
+    touched = crash._fast_flush_chunks(new_rows)
+    assert touched
+    crash._pipeline.run(crash._fast_flush_input(new_rows, touched),
+                        input_snapshot=0, restrict_chunks=touched)
+    assert crash._raw.current().files, "log still holds the batch (crash)"
+
+    # recovery: a fresh engine's shutdown finds the leftover log
+    rec = _connect(spark, tmp_path, "crash")
+    rec.shutdown()
+    assert rec._raw.current().files == []
+    assert _hashes(spark, str(tmp_path / "crash")) == \
+        _hashes(spark, str(tmp_path / "clean"))
