@@ -24,3 +24,27 @@ ops/             : lineage/metrics table, idempotent writes, resume.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy public API (keeps `import lindorm_tsdb_contest_java_spark`
+    free of a pyspark import until a symbol is actually used):
+
+    - TranscriptTSDB / connect  — the 8-method engine facade
+    - RollupPipeline            — batch rollup/encode pipeline
+    - RetentionPolicy / apply_retention — retention enforcement
+    - stream_into_store         — streaming ingestion into the store
+    """
+    targets = {
+        "TranscriptTSDB": ("engine", "TranscriptTSDB"),
+        "connect": ("engine", "connect"),
+        "RollupPipeline": ("ops.pipeline", "RollupPipeline"),
+        "RetentionPolicy": ("ops.retention", "RetentionPolicy"),
+        "apply_retention": ("ops.retention", "apply_retention"),
+        "stream_into_store": ("streaming.ingest", "stream_into_store"),
+    }
+    if name in targets:
+        import importlib
+        mod, attr = targets[name]
+        return getattr(importlib.import_module(f"{__name__}.{mod}"), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
