@@ -68,6 +68,12 @@ _TIER_COLUMNS = ("text_len", "latency_s")  # tier-accelerated metrics
 class TranscriptTSDB:
     def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16):
         self.spark = spark
+        # unix_micros over an NTZ timestamp is session-timezone-sensitive
+        # and the engine does chunk arithmetic on it BEFORE the first
+        # canonicalize call of a session (the fast-flush eligibility
+        # check): pin UTC at connect, not lazily, or touched-chunk ids
+        # near chunk boundaries could disagree with the pipeline's
+        self.spark.conf.set("spark.sql.session.timeZone", "UTC")
         self.root = root
         self.n_buckets = n_buckets
         self._buffer: list[DataFrame] = []
@@ -147,11 +153,18 @@ class TranscriptTSDB:
                         input_snapshot=0, restrict_chunks=touched)
                 else:
                     full = self._decoded_input().unionByName(new_rows)
-                    self._set_ordered(self._is_per_conv_ordered(full))
-                    self._pipeline.run(full, input_snapshot=0)
+                    # pessimistic across the crash window: anything that
+                    # dies between here and the post-run update leaves
+                    # the flag False (fast path off), never wrongly True
+                    self._set_ordered(False)
+                    m = self._pipeline.run(full, input_snapshot=0,
+                                           check_order=True)
+                    self._set_ordered(bool(m.get("per_conv_ordered")))
             else:
-                self._set_ordered(self._is_per_conv_ordered(new_rows))
-                self._pipeline.run(new_rows, input_snapshot=0)
+                self._set_ordered(False)
+                m = self._pipeline.run(new_rows, input_snapshot=0,
+                                       check_order=True)
+                self._set_ordered(bool(m.get("per_conv_ordered")))
             self._raw.truncate(meta={"reason": "flushed"})
             self._raw.vacuum()
         self._canon_cache = self._tier_cache = None
@@ -220,7 +233,7 @@ class TranscriptTSDB:
         predecessor is a latest-tier row."""
         from pyspark.sql.window import Window
 
-        if not self._get_ordered():
+        if not self._ordered_verified():
             return None
         nr = new_rows.withColumn(
             "ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
@@ -287,9 +300,21 @@ class TranscriptTSDB:
     def _get_ordered(self) -> bool:
         try:
             with open(self._flush_state_path()) as f:
-                return bool(json.load(f).get("per_conv_ordered", True))
+                return bool(json.load(f).get("per_conv_ordered", False))
         except (FileNotFoundError, json.JSONDecodeError):
-            return True
+            return False
+
+    def _ordered_verified(self) -> bool:
+        """The recorded flag when present; otherwise VERIFY the committed
+        history once and persist the answer — a root built by
+        RollupPipeline directly has no flush_state.json, and defaulting
+        to 'ordered' would let the fast path assume an invariant nobody
+        ever checked."""
+        if os.path.exists(self._flush_state_path()):
+            return self._get_ordered()
+        ordered = self._is_per_conv_ordered(self._decoded_input())
+        self._set_ordered(ordered)
+        return ordered
 
     def _set_ordered(self, ordered: bool) -> None:
         tmp = self._flush_state_path() + ".tmp"
@@ -351,7 +376,14 @@ class TranscriptTSDB:
     # ---------- read path: committed (segments + tiers only) ----------
 
     def _committed(self) -> bool:
-        return not self._buffer and bool(self._segments.current().files)
+        """Committed-state-current: no buffered rows AND no un-flushed
+        batch in the raw log. A non-empty log means a flush crashed
+        between the durable append and the pipeline commit — those rows
+        must stay query-visible (memtable path) until the next shutdown
+        replays them, not silently vanish behind the stale store."""
+        return (not self._buffer
+                and not self._raw.current().files
+                and bool(self._segments.current().files))
 
     def _range_decode(self, conv_id: str, lb_ms: int, ub_ms: int,
                       column: str) -> DataFrame:
@@ -390,7 +422,8 @@ class TranscriptTSDB:
         state is current (the reference answers latest from its in-memory
         index, MapIndex.java:99-114, never by scanning blocks); buffered
         unflushed rows force the memtable-visible raw path."""
-        if not self._buffer and self._tier_latest.current().files:
+        if (not self._buffer and not self._raw.current().files
+                and self._tier_latest.current().files):
             tier = self._tier_latest.read(self.spark)
             cols = columns or [c for c in CANONICAL_COLUMNS if c != "conv_id"]
             return latest_from_tier(tier, conv_ids, cols)

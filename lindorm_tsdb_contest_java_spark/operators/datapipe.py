@@ -329,7 +329,10 @@ def _simhash_kernel_udf():
     @F.pandas_udf("long")
     def udf(hs: pd.Series) -> pd.Series:
         n = len(hs)
-        lens = np.fromiter((len(x) for x in hs), dtype=np.int64, count=n)
+        # NULL text propagates to a None hash-list: simhash 0, matching
+        # simhash_expr's when(n > 0, ...).otherwise(0)
+        lens = np.fromiter((0 if x is None else len(x) for x in hs),
+                           dtype=np.int64, count=n)
         out = np.zeros(n, dtype=np.int64)
         nz = np.flatnonzero(lens)
         if nz.size:

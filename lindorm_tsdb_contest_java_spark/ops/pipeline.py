@@ -142,12 +142,44 @@ class RollupPipeline:
         os.makedirs(self.root, exist_ok=True)
         self.checkpoint = Checkpoint(os.path.join(self.root, "checkpoint.json"))
         self.lineage = LineageLog(os.path.join(self.root, "lineage"))
+        self._check_codec_stamp()
+
+    def _check_codec_stamp(self) -> None:
+        """Refuse to open a store whose blobs predate this codec wire
+        version. Blobs carry mode bytes, but a pre-upgrade blob can
+        ALIAS a newer mode (e.g. a raw gorilla stream's leading
+        length byte reads as a float-codec mode) and decode garbage
+        instead of raising — and since the raw ingest log is retired
+        after every flush, a stale store cannot be silently rebuilt;
+        it must be re-ingested. The wire version is stamped at the
+        root on first open and validated on every open."""
+        path = os.path.join(self.root, "codec_version.json")
+        stamped = None
+        if os.path.exists(path):
+            with open(path) as f:
+                stamped = json.load(f).get("codec_version")
+            if stamped == CODEC_VERSION:
+                return
+        has_segments = bool(self.table("segments").current().files)
+        if has_segments:
+            raise RuntimeError(
+                f"store at {self.root} was written with codec wire version "
+                f"{stamped if stamped is not None else 'unknown (unstamped)'} "
+                f"but this build reads v{CODEC_VERSION}: decoding would "
+                "misparse blobs. Re-ingest the data (the raw log is retired "
+                "after flushes, so there is no in-store source to rebuild "
+                "from), or read with the matching build.")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"codec_version": CODEC_VERSION}, f)
+        os.replace(tmp, path)
 
     def table(self, name: str) -> SnapshotTable:
         return SnapshotTable.create(os.path.join(self.root, name))
 
     def run(self, transcripts: DataFrame, input_snapshot: int = 0,
-            restrict_chunks: list[int] | None = None) -> dict:
+            restrict_chunks: list[int] | None = None,
+            check_order: bool = False) -> dict:
         """Process every time_chunk not yet checkpointed. Returns metrics.
 
         `restrict_chunks` is the engine's incremental-flush contract: the
@@ -156,7 +188,13 @@ class RollupPipeline:
         chunk window derivations (per-conv latency lag); rows outside the
         restricted chunks are dropped AFTER canonicalize, so fingerprints
         and encodes cover only the touched chunks while lag still sees
-        each conversation's predecessor."""
+        each conversation's predecessor.
+
+        `check_order` adds metrics["per_conv_ordered"]: whether the
+        canonical data is (turn_idx asc => ts strictly asc) within every
+        conversation (negative canonical latency is exactly a
+        violation). It rides the cached canon this run already built —
+        no second canonicalize pass."""
         kwargs = {"chunk_us": self.chunk_us} if self.chunk_us else {}
         canon = canonicalize(transcripts, n_buckets=self.n_buckets, **kwargs)
         if restrict_chunks is not None:
@@ -164,7 +202,11 @@ class RollupPipeline:
                 F.col("time_chunk").isin([int(c) for c in restrict_chunks]))
         canon = canon.cache()
         try:
-            return self._run_chunks(canon, input_snapshot)
+            metrics = self._run_chunks(canon, input_snapshot)
+            if check_order:
+                metrics["per_conv_ordered"] = (
+                    canon.filter(F.col("latency_s") < 0).limit(1).count() == 0)
+            return metrics
         finally:
             canon.unpersist()
 

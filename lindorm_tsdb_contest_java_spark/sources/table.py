@@ -378,26 +378,39 @@ class SnapshotTable:
             except FileExistsError:
                 stale = False
                 holder: int | str = "?"
+                alive = False
                 try:
                     with open(lock) as f:
                         holder = int(f.read().strip() or "0")
-                    age = __import__("time").time() - os.path.getmtime(lock)
-                    if age > ttl_s:
-                        stale = True
-                    elif holder:
+                    if holder:
                         try:
                             os.kill(holder, 0)  # signal 0: existence probe
                         except ProcessLookupError:
                             stale = True
                         except PermissionError:
-                            pass  # alive, owned by someone else
+                            alive = True  # exists, owned by someone else
+                        else:
+                            alive = True
+                    # a verifiably-"alive" holder gets 10x the TTL before
+                    # reclaim: protects a slow vacuum from being stolen
+                    # from, while still recovering from a crashed holder
+                    # whose pid was reused by an unrelated process
+                    age = __import__("time").time() - os.path.getmtime(lock)
+                    if age > (10 * ttl_s if alive else ttl_s):
+                        stale = True
                 except (OSError, ValueError):
                     stale = True  # unreadable/empty lock: treat as stale
                 if stale and attempt == 0:
+                    # reclaim ATOMICALLY: rename, don't unlink — with two
+                    # contenders both judging the lock stale, exactly one
+                    # rename wins; an unlink race could delete the
+                    # winner's freshly-created lock and let two writers in
+                    reclaimed = lock + f".stale.{os.getpid()}"
                     try:
-                        os.unlink(lock)
+                        os.rename(lock, reclaimed)
+                        os.unlink(reclaimed)
                     except FileNotFoundError:
-                        pass
+                        pass  # another contender reclaimed first
                     continue
                 raise RuntimeError(
                     f"concurrent commit in progress on {self.root} (LOCK "

@@ -249,3 +249,19 @@ def test_simhash_kernel_equals_expression(docs):
         DP.simhash_column(F.col("text"), "kernel").alias("k"))
     assert both.filter(F.col("e") != F.col("k")).count() == 0
     assert both.filter((F.col("doc_id") >= 900) & (F.col("k") != 0)).count() == 0
+
+
+def test_simhash_kernel_null_text_matches_expr(spark):
+    """NULL text must give simhash 0 on BOTH backends (the kernel used
+    to raise on the None hash-list)."""
+    from pyspark.sql import functions as F
+    from lindorm_tsdb_contest_java_spark.operators.datapipe import simhash_column
+    df = spark.createDataFrame(
+        [("a", "hello world hello"), ("b", None), ("c", "")],
+        "doc_id string, text string")
+    k = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", simhash_column(F.col("text"), backend="kernel").alias("sh")).collect()}
+    e = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", simhash_column(F.col("text"), backend="expr").alias("sh")).collect()}
+    assert k == e
+    assert k["b"] == 0 and k["c"] == 0

@@ -163,3 +163,70 @@ def test_flush_crash_between_run_and_truncate_recovers(spark, tmp_path):
     assert rec._raw.current().files == []
     assert _hashes(spark, str(tmp_path / "crash")) == \
         _hashes(spark, str(tmp_path / "clean"))
+
+
+def test_crashed_append_stays_query_visible(spark, tmp_path):
+    """Crash between the durable raw append and the pipeline commit:
+    a reopened engine must serve the logged-but-unflushed rows (memtable
+    path), not silently hide them behind the stale segment store."""
+    pdf = _pdf()
+    cut = pdf["ts"].quantile(0.7)
+    part1, part2 = pdf[pdf.ts <= cut], pdf[pdf.ts > cut]
+    eng = _connect(spark, tmp_path, "cv")
+    _flush_all(eng, spark, part1)
+    # simulated crash: batch reached the log, pipeline never ran
+    eng._raw.append(spark.createDataFrame(part2).select(*_INPUT_COLUMNS))
+
+    re = _connect(spark, tmp_path, "cv")
+    assert re._committed() is False
+    n = re._canonical().count()
+    assert n == len(pdf.drop_duplicates(subset=["conv_id", "turn_idx"]))
+    # latest sees the logged rows too (not the stale latest tier)
+    conv = part2["conv_id"].iloc[-1]
+    latest_ts = int(re.execute_latest_query([conv]).collect()[0]["ts_us"])
+    want = int(pdf[pdf.conv_id == conv]["ts"].max().timestamp() * 1e6)
+    assert latest_ts == want
+    # next shutdown replays and retires the log
+    re.shutdown()
+    assert re._raw.current().files == [] and re._committed()
+
+
+def test_codec_version_mismatch_refuses_to_open(spark, tmp_path):
+    import json as _json
+    import pytest as _pytest
+    from lindorm_tsdb_contest_java_spark.ops.pipeline import RollupPipeline
+    pdf = _pdf()
+    eng = _connect(spark, tmp_path, "vz")
+    _flush_all(eng, spark, pdf)
+    root = str(tmp_path / "vz")
+    with open(f"{root}/codec_version.json", "w") as f:
+        _json.dump({"codec_version": 3}, f)
+    with _pytest.raises(RuntimeError, match="codec wire version"):
+        RollupPipeline(spark, root, n_buckets=8)
+    os.remove(f"{root}/codec_version.json")  # unstamped + data also refuses
+    with _pytest.raises(RuntimeError, match="unstamped"):
+        RollupPipeline(spark, root, n_buckets=8)
+
+
+def test_unstamped_flush_state_is_verified_not_assumed(spark, tmp_path):
+    """A root whose committed history was never order-checked (no
+    flush_state.json — e.g. built via RollupPipeline directly) must be
+    VERIFIED once before the fast path may run."""
+    import pandas as pd
+    from lindorm_tsdb_contest_java_spark.ops.pipeline import RollupPipeline
+    pdf = _pdf()
+    root = str(tmp_path / "nv")
+    RollupPipeline(spark, root, n_buckets=8).run(
+        spark.createDataFrame(pdf), input_snapshot=0)
+    eng = _connect(spark, tmp_path, "nv")
+    assert not os.path.exists(eng._flush_state_path())
+    fresh = pdf.iloc[[0]].copy()
+    fresh["turn_idx"] = 10_000
+    fresh["ts"] = pdf["ts"].max() + pd.Timedelta(days=500)
+    touched = eng._fast_flush_chunks(
+        spark.createDataFrame(fresh).select(*_INPUT_COLUMNS))
+    # generator data is ordered: verification passes, is persisted, and
+    # the forward batch is eligible
+    assert touched
+    assert os.path.exists(eng._flush_state_path())
+    assert eng._get_ordered() is True
