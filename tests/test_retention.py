@@ -170,3 +170,44 @@ def test_engine_retention_preserves_recent_answers(spark, transcripts_pdf, tmp_p
     # latest is served from the untouched latest tier: identical even for
     # conversations idle since before the horizon
     assert sorted(map(str, eng.execute_latest_query().collect())) == pre_latest
+
+
+def test_engine_aggregate_and_downsample_after_retention(spark, transcripts_pdf, tmp_path):
+    """Query semantics over expired ranges: a window over RETAINED data
+    answers exactly as before retention; a window wholly inside the
+    expired range answers like 'no data' (the reference's sentinel
+    semantics for empty ranges) — retained-range answers never shift."""
+    from lindorm_tsdb_contest_java_spark import engine as EM
+    root = str(tmp_path / "qsem")
+    eng = EM.connect(spark, root, n_buckets=8)
+    eng.create_table()
+    eng.write(spark.createDataFrame(transcripts_pdf))
+    eng.shutdown()
+
+    hi_us = int(transcripts_pdf["ts"].max().timestamp() * 1e6)
+    lo_us = int(transcripts_pdf["ts"].min().timestamp() * 1e6)
+    conv = transcripts_pdf["conv_id"].iloc[0]
+    # a minute-aligned recent window (inside the retention horizon)
+    r_lb = ((hi_us // 1000 - 5 * 86_400_000) // 60_000) * 60_000
+    r_ub = r_lb + 2 * 86_400_000
+    pre_agg = eng.execute_aggregate_query(conv, "text_len", r_lb, r_ub, "AVG").collect()
+    pre_ds = eng.execute_downsample_query(
+        conv, "latency_s", r_lb, r_ub, 86_400_000, "AVG").collect()
+
+    eng.apply_retention(RetentionPolicy(segments_keep_us=10 * DAY_US,
+                                        tier_1m_keep_us=10 * DAY_US),
+                        now_us=hi_us + 1, vacuum_grace_s=0.0)
+
+    assert eng.execute_aggregate_query(
+        conv, "text_len", r_lb, r_ub, "AVG").collect() == pre_agg
+    assert eng.execute_downsample_query(
+        conv, "latency_s", r_lb, r_ub, 86_400_000, "AVG").collect() == pre_ds
+
+    # a window wholly in the expired region == a window with no data
+    e_lb = (lo_us // 60_000_000) * 60_000  # minute-aligned, at data start
+    e_ub = e_lb + 60_000
+    got = eng.execute_aggregate_query(conv, "text_len", e_lb, e_ub, "AVG").collect()
+    empty_conv = eng.execute_aggregate_query(
+        "conv-nonexistent", "text_len", e_lb, e_ub, "AVG").collect()
+    assert [r.asDict() for r in got] == [
+        {**r.asDict(), "conv_id": conv} for r in empty_conv] or got == empty_conv
