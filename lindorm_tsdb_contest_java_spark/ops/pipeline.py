@@ -117,6 +117,20 @@ class LineageLog:
         return spark.read.option("mergeSchema", "true").parquet(
             *self.table.file_paths())
 
+    def compact(self, max_files: int = 64) -> bool:
+        """Merge the per-flush lineage files into one when they exceed
+        `max_files` (a flush-per-minute deployment would otherwise grow
+        an unbounded small-file manifest). One atomic overwrite + vacuum;
+        rows are tiny driver-side metrics, so a pandas merge is fine."""
+        if len(self.table.current().files) <= max_files:
+            return False
+        import pyarrow.parquet as pq
+
+        frames = [pq.read_table(p).to_pandas() for p in self.table.file_paths()]
+        self.table.overwrite(pd.concat(frames, ignore_index=True))
+        self.table.vacuum()
+        return True
+
 
 @dataclass
 class RollupPipeline:
@@ -242,6 +256,7 @@ class RollupPipeline:
             self._run_batch(canon, batch, fingerprints, input_snapshot, metrics)
 
         self._cascade()
+        self.lineage.compact()
         return metrics
 
     def _cascade(self) -> None:

@@ -197,3 +197,15 @@ def test_live_lock_still_blocks(tmp_path):
     with pytest.raises(RuntimeError, match="concurrent commit"):
         t.append(pd.DataFrame({"a": [1]}))
     os.unlink(lock)
+
+
+def test_lineage_compaction_preserves_rows(spark, transcripts_df, tmp_path):
+    root = str(tmp_path / "lc")
+    p = RollupPipeline(spark, root, n_buckets=8, chunk_us=CHUNK_US)
+    p.run(transcripts_df, input_snapshot=1)
+    n_before = p.lineage.read(spark).count()
+    files_before = len(p.lineage.table.current().files)
+    assert p.lineage.compact(max_files=0) is True  # force
+    assert len(p.lineage.table.current().files) == 1 < max(files_before, 2)
+    assert p.lineage.read(spark).count() == n_before
+    assert p.lineage.compact(max_files=64) is False  # under threshold: no-op
