@@ -230,3 +230,63 @@ def test_unstamped_flush_state_is_verified_not_assumed(spark, tmp_path):
     assert touched
     assert os.path.exists(eng._flush_state_path())
     assert eng._get_ordered() is True
+
+
+def test_engine_soak_random_op_interleaving(spark, tmp_path):
+    """Model-based soak: a seeded interleaving of forward appends,
+    old-key upserts, flushes, and reconnects must leave the store equal
+    to the newest-wins pandas model of everything ever written."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    pool = generate_transcripts(n_conv=30, mean_turns=20, seed=21)
+    pool = pool.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    groups = [g for _, g in pool.groupby("conv_id")]
+    written = []          # every batch ever written, in order
+    eng = _connect(spark, tmp_path, "soak")
+
+    def flush():
+        eng.shutdown()
+
+    t_base = pool["ts"].max()
+    for step in range(10):
+        op = rng.choice(["append", "upsert", "flush", "reconnect"],
+                        p=[0.45, 0.2, 0.25, 0.1])
+        if op == "append" or not written:
+            k = int(rng.integers(1, 4))
+            idx = rng.choice(len(groups), size=k, replace=False)
+            batch = pd.concat([groups[i] for i in idx], ignore_index=True)
+            # shift forward so every append is newer than everything prior
+            batch = batch.copy()
+            batch["ts"] = batch["ts"] + (t_base - batch["ts"].min()) \
+                + pd.Timedelta(days=1 + step)
+            t_base = batch["ts"].max()
+            written.append(batch)
+            eng.write(spark.createDataFrame(batch))
+        elif op == "upsert":
+            prev = written[int(rng.integers(len(written)))]
+            row = prev.iloc[[int(rng.integers(len(prev)))]].copy()
+            row["text"] = f"upsert-{step}"
+            row["ts"] = t_base + pd.Timedelta(hours=1 + step)
+            t_base = row["ts"].max()
+            written.append(row)
+            eng.write(spark.createDataFrame(row))
+        elif op == "flush":
+            flush()
+        else:
+            flush()
+            eng = _connect(spark, tmp_path, "soak")
+    flush()
+
+    truth = (pd.concat(written, ignore_index=True)
+             .sort_values("ts")
+             .drop_duplicates(subset=["conv_id", "turn_idx"], keep="last"))
+    got = (eng._decoded_input().toPandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    truth = truth.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(got) == len(truth)
+    assert (got["text"].to_numpy() == truth["text"].to_numpy()).all()
+    got_ts = got["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    want_ts = truth["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    assert (got_ts == want_ts).all()
