@@ -98,3 +98,18 @@ def test_gapfill_generates_skeleton_no_cartesian(transcripts_df):
     plan = facts(g).plan
     assert "CartesianProduct" not in plan
     assert "Generate explode" in plan or "Generate" in plan
+
+def test_incremental_flush_chunk_filter_reaches_scan(spark, seg_path):
+    """The fast-flush decode of touched chunks must push its time_chunk
+    filter into the parquet scan — at 10^12 turns the segment table is
+    years of chunks, and decoding any untouched one would void the
+    O(batch) flush claim."""
+    seg = spark.read.parquet(seg_path)
+    chunks = [r["time_chunk"] for r in
+              seg.select("time_chunk").distinct().limit(2).collect()]
+    decoded = decode_segments(
+        seg.filter(F.col("time_chunk").isin([int(c) for c in chunks])),
+        ["conv_id", "ts_us"])
+    f = facts(decoded)
+    pushed = " ".join(f.pushed_filters())
+    assert "time_chunk" in pushed, pushed
