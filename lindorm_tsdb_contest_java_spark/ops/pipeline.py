@@ -37,6 +37,23 @@ from ..sources.segments import DEFAULT_CHUNK_US, canonicalize, encode_segments
 from ..sources.table import SnapshotTable
 
 
+def _parallel_jobs(*thunks) -> None:
+    """Run independent Spark actions concurrently from driver threads
+    (each writes a DIFFERENT snapshot table, so the per-table commit
+    locks never contend). Sequential small jobs are the flush-latency
+    floor; concurrent submission overlaps their scheduling. Exceptions
+    propagate (first one wins) after all threads finish."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futures = [ex.submit(t) for t in thunks]
+        for f in futures:
+            f.result()
+
+
 class Checkpoint:
     """Atomic JSON checkpoint: {job: {input_snapshot, done: [chunk...]}}."""
 
@@ -278,11 +295,15 @@ class RollupPipeline:
         conv_1m = self.table("tier_conv_1m").read(self.spark)
         rate_1m = self.table("tier_rate_1m").read(self.spark)
         floor_ms = self._tier_1m_floor_ms()
-        for name, width in self.tiers.items():
+        # each (grain, width) rebuild is an independent job into its own
+        # table: submit concurrently (same rationale as the 1m writes)
+        _parallel_jobs(*[
+            (lambda t=self.table(f"tier_{grain}_{name}"), b=base, r=rollup,
+                    w=width: self._cascade_tier(t, b, r, w, pending, floor_ms))
+            for name, width in self.tiers.items()
             for grain, base, rollup in (("conv", conv_1m, rollup_conv_tier),
-                                        ("rate", rate_1m, rollup_rate_tier)):
-                self._cascade_tier(self.table(f"tier_{grain}_{name}"),
-                                   base, rollup, width, pending, floor_ms)
+                                        ("rate", rate_1m, rollup_rate_tier))
+        ])
         self.checkpoint.clear_cascade_pending(pending)
 
     def _cascade_tier(self, tbl, base: DataFrame, rollup, width_ms: int,
@@ -389,15 +410,23 @@ class RollupPipeline:
         chunk_us = self.chunk_us or DEFAULT_CHUNK_US
         chunk_of = (F.floor(F.col("bucket_ms") * 1000 / F.lit(chunk_us))
                     .cast("long").alias("time_chunk"))
-        self.table("tier_conv_1m").overwrite_partitions_multi(
-            build_conv_tier(part).withColumn("time_chunk", chunk_of),
-            "time_chunk", [int(c) for c in batch])
-        self.table("tier_rate_1m").overwrite_partitions_multi(
-            build_rate_tier(part).withColumn("time_chunk", chunk_of),
-            "time_chunk", [int(c) for c in batch])
-        # latest tier: per-(conv, chunk) newest row — MapIndex.getLast analog
-        self.table("tier_latest").overwrite_partitions_multi(
-            build_latest_tier(part), "time_chunk", [int(c) for c in batch])
+        # the three 1m-grain tier writes are independent Spark jobs over
+        # the same cached canon against three different tables (one
+        # commit lock each): submit them concurrently — flush latency is
+        # dominated by sequential small-job scheduling, not data volume.
+        # tier_latest is the per-(conv, chunk) newest row — the
+        # MapIndex.getLast analog.
+        _parallel_jobs(
+            lambda: self.table("tier_conv_1m").overwrite_partitions_multi(
+                build_conv_tier(part).withColumn("time_chunk", chunk_of),
+                "time_chunk", [int(c) for c in batch]),
+            lambda: self.table("tier_rate_1m").overwrite_partitions_multi(
+                build_rate_tier(part).withColumn("time_chunk", chunk_of),
+                "time_chunk", [int(c) for c in batch]),
+            lambda: self.table("tier_latest").overwrite_partitions_multi(
+                build_latest_tier(part), "time_chunk",
+                [int(c) for c in batch]),
+        )
         # these chunks' 1m content changed: their coarse windows need the
         # cascade (recorded BEFORE it runs — crash-safe re-do list)
         self.checkpoint.add_cascade_pending(batch)
