@@ -396,14 +396,19 @@ class RollupPipeline:
                     f"snap{snap.snapshot_id}-"):
                 new_files.setdefault(int(c), []).append(f["path"])
         # stats from exactly the files this commit wrote — not a
-        # whole-table rescan (which would be O(chunks^2) at scale)
+        # whole-table rescan (which would be O(chunks^2) at scale). Only
+        # lineage needs them, so the job joins the concurrent batch below.
         paths = [os.path.join(seg_table.data_dir, p)
                  for fs in new_files.values() for p in fs]
-        stats = {int(r["time_chunk"]): (int(r["rows"]), int(r["bytes"]))
-                 for r in self.spark.read.parquet(*paths)
-                 .groupBy("time_chunk")
-                 .agg(F.sum("n_rows").alias("rows"),
-                      F.sum("encoded_bytes").alias("bytes")).collect()}
+        stats: dict[int, tuple[int, int]] = {}
+
+        def collect_stats():
+            stats.update({
+                int(r["time_chunk"]): (int(r["rows"]), int(r["bytes"]))
+                for r in self.spark.read.parquet(*paths)
+                .groupBy("time_chunk")
+                .agg(F.sum("n_rows").alias("rows"),
+                     F.sum("encoded_bytes").alias("bytes")).collect()})
 
         # 1m tiers for the same batch, partitioned by the owning chunk
         # (tier buckets never straddle chunks: chunk_us is a multiple of 60s)
@@ -417,6 +422,7 @@ class RollupPipeline:
         # tier_latest is the per-(conv, chunk) newest row — the
         # MapIndex.getLast analog.
         _parallel_jobs(
+            collect_stats,
             lambda: self.table("tier_conv_1m").overwrite_partitions_multi(
                 build_conv_tier(part).withColumn("time_chunk", chunk_of),
                 "time_chunk", [int(c) for c in batch]),
