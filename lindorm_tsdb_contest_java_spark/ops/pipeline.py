@@ -141,10 +141,18 @@ class LineageLog:
         rows are tiny driver-side metrics, so a pandas merge is fine."""
         if len(self.table.current().files) <= max_files:
             return False
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        frames = [pq.read_table(p).to_pandas() for p in self.table.file_paths()]
-        self.table.overwrite(pd.concat(frames, ignore_index=True))
+        # arrow-level merge, NOT pandas concat: pandas promotes int64
+        # columns absent in some files (rollup's time_chunk/row_count vs
+        # retention rows) to float64-with-NaN, and the next record_many
+        # appends them as int64 again — read()'s mergeSchema then fails
+        # on bigint-vs-double (ADVICE r03). concat_tables keeps each
+        # column's original type and fills absences with nulls.
+        tables = [pq.read_table(p) for p in self.table.file_paths()]
+        self.table.overwrite(
+            pa.concat_tables(tables, promote_options="default"))
         self.table.vacuum()
         return True
 
@@ -320,9 +328,22 @@ class RollupPipeline:
             # a pre-partitioned layout: one atomic full rebuild that also
             # migrates the layout. Correctness-first fallback; the
             # default 6h chunks align with both 1h and 1d.
-            tbl.overwrite_partitioned(
-                rollup(base, width_ms).withColumn("time_chunk", chunk_of),
-                "time_chunk")
+            full = rollup(base, width_ms).withColumn("time_chunk", chunk_of)
+            if floor_ms is not None and tbl.current().files:
+                # retention floor set: the 1m base is truncated below it,
+                # so a naive full rebuild would silently discard the
+                # frozen pre-expiry coarse history (ADVICE r03). Union
+                # the recompute (>= cutover) with the EXISTING coarse
+                # rows below the cutover — the continuous-aggregate
+                # guarantee holds through the migration too.
+                cutover = -(-floor_ms // width_ms) * width_ms
+                frozen = (tbl.read(base.sparkSession)
+                          .filter(F.col("bucket_ms") < cutover))
+                if "time_chunk" not in frozen.columns:  # legacy layout
+                    frozen = frozen.withColumn("time_chunk", chunk_of)
+                full = (full.filter(F.col("bucket_ms") >= cutover)
+                        .unionByName(frozen.select(*full.columns)))
+            tbl.overwrite_partitioned(full, "time_chunk")
             return
         # affected window starts (ms) = every width-aligned window
         # intersecting a pending chunk, minus retention-frozen ones

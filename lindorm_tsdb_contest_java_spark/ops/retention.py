@@ -110,6 +110,23 @@ def apply_retention(pipeline, policy: RetentionPolicy,
     asks of every tier write apply to tier *deletes* too."""
     now_us = int(time.time() * 1e6) if now_us is None else int(now_us)
     chunk_us = pipeline.chunk_us or DEFAULT_CHUNK_US
+    # The engine's committed aggregate/downsample paths serve interior
+    # buckets SOLELY from the 1m tier (routed_aggregate/_downsample):
+    # expiring 1m chunks while their segments are still retained would
+    # make those queries silently return partial (edge-only) results over
+    # data that still exists. Refuse the inconsistent policy outright
+    # (ADVICE r03): the 1m tier must live at least as long as segments.
+    if policy.tier_1m_keep_us is not None and (
+            policy.segments_keep_us is None
+            or policy.tier_1m_keep_us < policy.segments_keep_us):
+        raise ValueError(
+            "tier_1m_keep_us must be >= segments_keep_us (and segments "
+            "must not be kept forever while the 1m tier expires): the "
+            "committed query paths answer interior buckets from the 1m "
+            "tier, so expiring it before the segments would silently "
+            f"truncate results over retained data. Got tier_1m_keep_us="
+            f"{policy.tier_1m_keep_us}, segments_keep_us="
+            f"{policy.segments_keep_us}.")
     out: dict[str, dict] = {}
     for field, tables in _POLICY_TABLES.items():
         keep_us = getattr(policy, field)
@@ -139,8 +156,16 @@ def apply_retention(pipeline, policy: RetentionPolicy,
                     kept = [f.get("partition", {}).get("time_chunk")
                             for f in snap.files]
                     kept = [int(p) for p in kept if p is not None]
+                    # fallback when the drop removed EVERY 1m chunk: the
+                    # floor must still land on a chunk boundary (round the
+                    # horizon UP to the next chunk start, ADVICE r03) —
+                    # a mid-partition floor would put the cascade cutover
+                    # inside a coarse-tier partition, and a later backfill
+                    # rewriting that partition with only windows >= cutover
+                    # would delete the frozen rows sharing it.
                     floor_us = (min(kept) * chunk_us if kept
-                                else now_us - int(keep_us))
+                                else -(-(now_us - int(keep_us)) // chunk_us)
+                                * chunk_us)
                     _advance_retention_floor_us(pipeline.root, floor_us)
             if vacuum:
                 stats["vacuum"] = table.vacuum(grace_s=vacuum_grace_s)

@@ -211,3 +211,107 @@ def test_engine_aggregate_and_downsample_after_retention(spark, transcripts_pdf,
         "conv-nonexistent", "text_len", e_lb, e_ub, "AVG").collect()
     assert [r.asDict() for r in got] == [
         {**r.asDict(), "conv_id": conv} for r in empty_conv] or got == empty_conv
+
+
+def test_policy_rejects_1m_expiring_before_segments(spark, transcripts_df, tmp_path):
+    """ADVICE r03: the committed aggregate/downsample paths serve interior
+    buckets solely from the 1m tier — a policy expiring 1m chunks while
+    their segments are still retained must be refused, not silently
+    produce partial answers."""
+    import pytest as _pytest
+    root = str(tmp_path / "pol")
+    p = _run(spark, root, transcripts_df)
+    with _pytest.raises(ValueError, match="tier_1m_keep_us"):
+        apply_retention(p, RetentionPolicy(segments_keep_us=5 * DAY_US,
+                                           tier_1m_keep_us=2 * DAY_US),
+                        now_us=0, vacuum=False)
+    # segments kept forever + 1m expiring is the same inconsistency
+    with _pytest.raises(ValueError, match="tier_1m_keep_us"):
+        apply_retention(p, RetentionPolicy(tier_1m_keep_us=2 * DAY_US),
+                        now_us=0, vacuum=False)
+
+
+def test_all_chunks_dropped_floor_is_chunk_aligned(spark, transcripts_df, tmp_path):
+    """ADVICE r03: when retention removes EVERY 1m chunk, the persisted
+    fallback floor must land on a chunk boundary — a mid-partition floor
+    would let a later backfill rewrite a coarse partition that still
+    holds frozen rows below the cutover."""
+    root = str(tmp_path / "floorall")
+    p = _run(spark, root, transcripts_df)
+    from lindorm_tsdb_contest_java_spark.sources.segments import canonicalize
+    _, hi = _bounds(canonicalize(transcripts_df, n_buckets=8, chunk_us=CHUNK_US))
+    # horizon above ALL data (past the last chunk's END, which can be up
+    # to a full chunk beyond hi), deliberately NOT chunk-aligned
+    now_us = hi + 2 * CHUNK_US + 12_345_678_901
+    keep_us = 1  # expire everything
+    out = apply_retention(
+        p, RetentionPolicy(segments_keep_us=keep_us, tier_1m_keep_us=keep_us),
+        now_us=now_us, vacuum=False)
+    assert out["tier_conv_1m"]["chunks_dropped"] > 0
+    assert _seg_chunks(root) == []
+    floor = read_retention_floor_us(root)
+    assert floor is not None
+    assert floor % CHUNK_US == 0            # chunk-aligned
+    assert floor >= now_us - keep_us        # never below the horizon
+
+
+def test_full_rebuild_preserves_frozen_coarse_rows(spark, transcripts_df, tmp_path):
+    """ADVICE r03: the legacy/misaligned full-rebuild branch of the
+    cascade must not discard frozen coarse history below the retention
+    floor when rebuilding from the truncated 1m base."""
+    root = str(tmp_path / "frozen")
+    p = _run(spark, root, transcripts_df)
+    from lindorm_tsdb_contest_java_spark.sources.segments import canonicalize
+    _, hi = _bounds(canonicalize(transcripts_df, n_buckets=8, chunk_us=CHUNK_US))
+    now_us = hi + 1
+    chunks = _seg_chunks(root)
+    keep_us = now_us - (chunks[1] + 1) * CHUNK_US  # expire two oldest chunks
+    apply_retention(
+        p, RetentionPolicy(segments_keep_us=keep_us, tier_1m_keep_us=keep_us),
+        now_us=now_us, vacuum=False)
+    floor_ms = read_retention_floor_us(root) // 1000
+    tbl = p.table("tier_conv_1h")
+    pre = tbl.read(spark)
+    frozen_before = pre.filter(F.col("bucket_ms") < floor_ms).count()
+    total_before = pre.count()
+    assert frozen_before > 0
+    # force the legacy (partition-untracked) layout: a full overwrite
+    # whose files record no time_chunk partition
+    tbl.overwrite(tbl.read(spark))
+    # trigger a cascade over one surviving chunk
+    p.checkpoint.add_cascade_pending([chunks[2]])
+    p._cascade()
+    post = tbl.read(spark)
+    assert post.filter(F.col("bucket_ms") < floor_ms).count() == frozen_before
+    assert post.count() == total_before
+    # and the rebuild migrated the layout back to partition-tracked files
+    assert all("time_chunk" in f.get("partition", {})
+               for f in tbl.current().files)
+
+
+def test_lineage_compact_mixed_schemas_keeps_types(spark, transcripts_df, tmp_path):
+    """ADVICE r03: compaction across mixed-schema lineage files (rollup
+    rows with int64 time_chunk/row_count vs retention rows without) must
+    keep the original parquet types — pandas concat promoted them to
+    double, and the NEXT record_many append made read()'s mergeSchema
+    throw on bigint-vs-double."""
+    root = str(tmp_path / "lincompact")
+    p = _run(spark, root, transcripts_df)
+    from lindorm_tsdb_contest_java_spark.sources.segments import canonicalize
+    _, hi = _bounds(canonicalize(transcripts_df, n_buckets=8, chunk_us=CHUNK_US))
+    chunks = _seg_chunks(root)
+    keep_us = (hi + 1) - (chunks[0] + 1) * CHUNK_US
+    apply_retention(p, RetentionPolicy(segments_keep_us=keep_us,
+                                       tier_1m_keep_us=keep_us),
+                    now_us=hi + 1, vacuum=False)
+    assert p.lineage.compact(max_files=0) is True
+    # post-compaction append of rollup-shaped rows (int64 columns again)
+    p.lineage.record_many([dict(job="rollup", phase="chunk", time_chunk=99,
+                                input_snapshot=1, input_files="x",
+                                row_count=1, encoded_bytes=2, wall_s=0.1)])
+    lin = p.lineage.read(spark)  # threw before the fix
+    dtypes = dict(lin.dtypes)
+    assert dtypes["time_chunk"] == "bigint"
+    assert dtypes["row_count"] == "bigint"
+    assert lin.filter(F.col("job") == "retention").count() >= 1
+    assert lin.filter(F.col("time_chunk") == 99).count() == 1
