@@ -29,7 +29,10 @@ sequential fallback reader for foreign streams).
 # snapshot commits record it in their meta for provenance.
 #  v3: mode-byte int codec + 1/2/4-bit-packed dictionary codes
 #  v4: blob_latency = float codec (mode byte: scaled-int | gorilla planes)
-CODEC_VERSION = 4
+#  v5: conv-range sub-segments + conv_id_min/conv_id_max zone columns in
+#      the segment schema (a v4 store's parquet lacks the columns every
+#      committed read path now filters on)
+CODEC_VERSION = 5
 
 from .varint import (
     zigzag_encode, zigzag_decode, varint_encode, varint_decode, varint_size,

@@ -47,6 +47,13 @@ from ..functions.codecs.strings import dict_decode_arrow, text_decode_arrow
 
 DEFAULT_N_BUCKETS = 64
 DEFAULT_CHUNK_US = 6 * 3600 * 1_000_000  # 6h time chunks
+# conv-range sub-segment target (rows): an encode group larger than this
+# is split at conversation boundaries into sub-segments of >= this many
+# rows, each carrying a conv_id zone map. ~4k rows is the measured
+# applyInArrow sweet spot (throughput AND compression both fall with
+# much smaller groups), and it bounds how much a single-conversation
+# read must decode (see time_range_from_segments).
+DEFAULT_SEGMENT_ROWS = 4096
 
 TRANSCRIPT_SCHEMA = StructType([
     StructField("conv_id", StringType(), False),
@@ -68,6 +75,13 @@ SEGMENT_SCHEMA = StructType([
     StructField("time_chunk", LongType(), False),
     StructField("n_rows", LongType(), False),
     StructField("n_convs", LongType(), False),
+    # conv-id zone map (MapIndex.java:61-81 analog): rows are conv-sorted
+    # and sub-segments split at conv boundaries, so a single-conversation
+    # read prunes to the sub-segments whose [conv_id_min, conv_id_max]
+    # range covers it — decode cost ∝ one conv's neighborhood, not
+    # 1/n_buckets of the whole range
+    StructField("conv_id_min", StringType(), False),
+    StructField("conv_id_max", StringType(), False),
     StructField("min_ts_us", LongType(), False),
     StructField("max_ts_us", LongType(), False),
     # AggBucket analog: per-metric zone stats
@@ -172,8 +186,10 @@ def canonicalize(
 
 _SEGMENT_PA_SCHEMA = pa.schema(
     [pa.field("conv_bucket", pa.int32())]
+    + [pa.field(n, pa.int64()) for n in ("time_chunk", "n_rows", "n_convs")]
+    + [pa.field(n, pa.string()) for n in ("conv_id_min", "conv_id_max")]
     + [pa.field(n, pa.int64()) for n in
-       ("time_chunk", "n_rows", "n_convs", "min_ts_us", "max_ts_us",
+       ("min_ts_us", "max_ts_us",
         "text_len_min", "text_len_max", "text_len_sum")]
     + [pa.field(n, pa.float64()) for n in ("latency_min", "latency_max", "latency_sum")]
     + [pa.field(n, pa.int64()) for n in ("turn_idx_min", "turn_idx_max")]
@@ -184,13 +200,11 @@ _SEGMENT_PA_SCHEMA = pa.schema(
 )
 
 
-def _encode_group_arrow(tbl: pa.Table) -> pa.Table:
-    """Arrow-native encode: sort + column extraction stay in Arrow, text
-    bytes go straight from the Arrow buffer into the codec — no Python
-    string objects are ever materialized (the applyInPandas version's
-    dominant memory-bandwidth cost)."""
-    tbl = tbl.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending"),
-                       ("ts_us", "ascending")])
+def _encode_slice(tbl: pa.Table) -> dict:
+    """Encode one (already conv/turn/ts-sorted) slice into a single
+    segment-row dict. Arrow-native: column extraction stays in Arrow,
+    text bytes go straight from the (properly sliced) Arrow buffer into
+    the codec — no Python string objects are ever materialized."""
     ts = tbl.column("ts_us").to_numpy(zero_copy_only=False).astype(np.int64)
     turn = tbl.column("turn_idx").to_numpy(zero_copy_only=False).astype(np.int64)
     tlen = tbl.column("text_len").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -206,31 +220,67 @@ def _encode_group_arrow(tbl: pa.Table) -> pa.Table:
         "blob_tool": dict_encode(tbl.column("tool").combine_chunks()),
         "blob_text": text_encode(tbl.column("text").combine_chunks()),
     }
-    row = {
-        "conv_bucket": [int(tbl.column("conv_bucket")[0].as_py())],
-        "time_chunk": [int(tbl.column("time_chunk")[0].as_py())],
-        "n_rows": [len(ts)],
-        "n_convs": [len(conv_arr.unique())],
-        "min_ts_us": [int(ts.min())],
-        "max_ts_us": [int(ts.max())],
-        "text_len_min": [int(tlen.min())],
-        "text_len_max": [int(tlen.max())],
-        "text_len_sum": [int(tlen.sum())],
-        "latency_min": [float(lat.min())],
-        "latency_max": [float(lat.max())],
-        "latency_sum": [float(lat.sum())],
-        "turn_idx_min": [int(turn.min())],
-        "turn_idx_max": [int(turn.max())],
-        **{k: [v] for k, v in blobs.items()},
-        "encoded_bytes": [sum(len(b) for b in blobs.values())],
+    return {
+        "conv_bucket": int(tbl.column("conv_bucket")[0].as_py()),
+        "time_chunk": int(tbl.column("time_chunk")[0].as_py()),
+        "n_rows": len(ts),
+        "n_convs": len(conv_arr.unique()),
+        "conv_id_min": conv_arr[0].as_py(),     # rows are conv-sorted
+        "conv_id_max": conv_arr[-1].as_py(),
+        "min_ts_us": int(ts.min()),
+        "max_ts_us": int(ts.max()),
+        "text_len_min": int(tlen.min()),
+        "text_len_max": int(tlen.max()),
+        "text_len_sum": int(tlen.sum()),
+        "latency_min": float(lat.min()),
+        "latency_max": float(lat.max()),
+        "latency_sum": float(lat.sum()),
+        "turn_idx_min": int(turn.min()),
+        "turn_idx_max": int(turn.max()),
+        **blobs,
+        "encoded_bytes": sum(len(b) for b in blobs.values()),
     }
-    return pa.table({f.name: row[f.name] for f in _SEGMENT_PA_SCHEMA},
+
+
+def _encode_group_arrow(tbl: pa.Table,
+                        target_rows: int = DEFAULT_SEGMENT_ROWS) -> pa.Table:
+    """One encode group (conv_bucket, time_chunk) → one OR MORE segment
+    rows: groups above `target_rows` are split at conversation
+    boundaries into conv-range sub-segments (each >= target_rows, never
+    splitting a conversation), so every emitted segment carries a tight
+    [conv_id_min, conv_id_max] zone map. This is the per-vin read
+    locality of the reference's block layout (TSFileService.java:598-737
+    encodes one vin's rows per block; MapIndex.java:61-81 prunes per-vin
+    index lists): a single-conversation query decodes only the
+    sub-segments whose conv range covers it."""
+    tbl = tbl.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending"),
+                       ("ts_us", "ascending")])
+    n = tbl.num_rows
+    starts = [0]
+    if n > target_rows:
+        conv = tbl.column("conv_id").combine_chunks()
+        # conv-run starts: positions where conv_id changes (vectorized)
+        neq = pa.compute.not_equal(conv.slice(1), conv.slice(0, n - 1))
+        bounds = np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1
+        last = 0
+        for b in bounds:
+            if b - last >= target_rows:
+                starts.append(int(b))
+                last = int(b)
+    rows = [_encode_slice(tbl.slice(s, e - s))
+            for s, e in zip(starts, starts[1:] + [n])]
+    return pa.table({f.name: [r[f.name] for r in rows]
+                     for f in _SEGMENT_PA_SCHEMA},
                     schema=_SEGMENT_PA_SCHEMA)
 
 
 def encode_segments(canonical: DataFrame,
-                    max_rows_per_conv: int | None = None) -> DataFrame:
-    """canonical transcripts → one encoded segment row per (bucket, chunk).
+                    max_rows_per_conv: int | None = None,
+                    segment_rows: int = DEFAULT_SEGMENT_ROWS) -> DataFrame:
+    """canonical transcripts → encoded segment rows per (bucket, chunk),
+    sub-split at conversation boundaries into >= segment_rows slices
+    (see _encode_group_arrow — the conv zone map is what makes
+    single-conversation reads prune).
 
     groupBy keys are the partition/zone columns, so the shuffle this
     induces is exactly the reference's shard routing; AQE coalesces or
@@ -250,15 +300,20 @@ def encode_segments(canonical: DataFrame,
         salted = canonical.withColumn(
             "_seg_salt", F.floor(F.col("turn_idx") / F.lit(max_rows_per_conv)))
         def encode_salted(t: pa.Table) -> pa.Table:
-            return _encode_group_arrow(t.drop_columns(["_seg_salt"]))
+            return _encode_group_arrow(t.drop_columns(["_seg_salt"]),
+                                       target_rows=segment_rows)
 
         return (salted
                 .groupBy("conv_bucket", "time_chunk", "_seg_salt")
                 .applyInArrow(encode_salted, schema=SEGMENT_SCHEMA))
+
+    def encode(t: pa.Table) -> pa.Table:
+        return _encode_group_arrow(t, target_rows=segment_rows)
+
     return (
         canonical
         .groupBy("conv_bucket", "time_chunk")
-        .applyInArrow(_encode_group_arrow, schema=SEGMENT_SCHEMA)
+        .applyInArrow(encode, schema=SEGMENT_SCHEMA)
     )
 
 
@@ -351,8 +406,12 @@ def time_range_from_segments(
 
     - shard routing: conv_bucket == pmod(xxhash64(conv_id), n_buckets),
       constant-folded by Catalyst and pushed into the parquet scan;
-    - zone-map pruning: min_ts_us/max_ts_us overlap predicates, also
-      pushed down — non-overlapping segments are never read;
+    - zone-map pruning: min_ts_us/max_ts_us overlap predicates AND the
+      conv-id zone map (conv_id_min <= conv_id <= conv_id_max over the
+      conv-sorted sub-segments), all pushed down — segments that cannot
+      hold the conversation are never read, so a single-conversation
+      query decodes ~one sub-segment per chunk instead of the bucket's
+      whole share of the range (the MapIndex.java:61-81 per-vin prune);
     - lazy decode: only the requested columns' blobs are decompressed
       (decode_segments column-list pushdown), then the exact row-level
       [lb, ub) filter runs on the decoded rows (straddling-block rows).
@@ -365,6 +424,8 @@ def time_range_from_segments(
     bucket = F.pmod(F.xxhash64(F.lit(conv_id)), F.lit(n_buckets)).cast("int")
     pruned = segments.filter(
         (F.col("conv_bucket") == bucket)
+        & (F.col("conv_id_min") <= F.lit(conv_id))
+        & (F.col("conv_id_max") >= F.lit(conv_id))
         & (F.col("min_ts_us") < F.lit(ub_us))
         & (F.col("max_ts_us") >= F.lit(lb_us)))
     decoded = decode_segments(pruned, need)

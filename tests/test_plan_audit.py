@@ -113,3 +113,21 @@ def test_incremental_flush_chunk_filter_reaches_scan(spark, seg_path):
     f = facts(decoded)
     pushed = " ".join(f.pushed_filters())
     assert "time_chunk" in pushed, pushed
+
+
+def test_single_conv_scan_pushes_conv_zone_filters(spark, seg_path):
+    """r03 verdict ask #1: the committed single-conversation read must
+    push the conv-id zone predicates (conv_id_min/conv_id_max) into the
+    parquet scan alongside bucket + time zone maps — at 100 TB this is
+    what keeps a point query from decoding 1/n_buckets of the store."""
+    from lindorm_tsdb_contest_java_spark.sources.segments import (
+        time_range_from_segments,
+    )
+    seg = spark.read.parquet(seg_path)
+    q = time_range_from_segments(seg, "conv-00000001", 0, 2 * 10**12,
+                                 ["conv_id", "ts_us"], n_buckets=8)
+    f = facts(q)
+    pushed = " ".join(f.pushed_filters())
+    for col in ("conv_bucket", "conv_id_min", "conv_id_max",
+                "min_ts_us", "max_ts_us"):
+        assert col in pushed, (col, pushed)

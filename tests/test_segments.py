@@ -67,9 +67,14 @@ def test_zone_map_stats_match_data(canonical, segments):
         F.sum("text_len").alias("text_len_sum"),
         F.min("latency_s").alias("latency_min"), F.max("latency_s").alias("latency_max"),
     ).toPandas().sort_values(["conv_bucket", "time_chunk"]).reset_index(drop=True))
-    got = (segments.select("conv_bucket", "time_chunk", "n_rows", "min_ts_us",
-                           "max_ts_us", "text_len_sum", "latency_min", "latency_max")
-           .toPandas().sort_values(["conv_bucket", "time_chunk"]).reset_index(drop=True))
+    # a (bucket, chunk) group may be sub-split into conv-range segments:
+    # the group-level stats are the decomposable rollup of the sub-rows
+    got = (segments.groupBy("conv_bucket", "time_chunk").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.min("min_ts_us").alias("min_ts_us"), F.max("max_ts_us").alias("max_ts_us"),
+        F.sum("text_len_sum").alias("text_len_sum"),
+        F.min("latency_min").alias("latency_min"), F.max("latency_max").alias("latency_max"),
+    ).toPandas().sort_values(["conv_bucket", "time_chunk"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(
         got.astype({"n_rows": "int64"}), expect.astype({"n_rows": "int64"}),
         check_dtype=False)
@@ -98,3 +103,74 @@ def test_bucket_routing_is_stable(canonical):
     # same conv_id always lands in the same bucket
     assert (canonical.groupBy("conv_id")
             .agg(F.countDistinct("conv_bucket").alias("n")).filter("n > 1").count()) == 0
+
+
+def test_conv_subsplit_roundtrip_and_zone_maps(spark, canonical):
+    """Conv-range sub-segments (r03 verdict ask #1): a tiny target forces
+    every sizable group to split at conversation boundaries. The
+    round-trip stays exact, conversations are never split within a
+    group, and sibling sub-segments carry non-overlapping ordered conv
+    ranges — the zone map single-conv reads prune on."""
+    segs = encode_segments(canonical, segment_rows=64).cache()
+    per_group = segs.groupBy("conv_bucket", "time_chunk") \
+                    .agg(F.count("*").alias("n_segs"))
+    assert per_group.filter("n_segs > 1").count() > 0, \
+        "fixture must actually exercise the sub-split"
+    # conversations never split within a group: summing per-sub-segment
+    # distinct-conv counts equals the group's distinct convs
+    got_convs = segs.groupBy("conv_bucket", "time_chunk") \
+                    .agg(F.sum("n_convs").alias("n")).toPandas()
+    exp_convs = canonical.groupBy("conv_bucket", "time_chunk") \
+        .agg(F.countDistinct("conv_id").alias("n")).toPandas()
+    key = ["conv_bucket", "time_chunk"]
+    merged = got_convs.merge(exp_convs, on=key, suffixes=("_got", "_exp"))
+    assert (merged["n_got"] == merged["n_exp"]).all()
+    # sibling sub-segments have disjoint, ordered conv ranges
+    rows = (segs.select("conv_bucket", "time_chunk", "conv_id_min", "conv_id_max")
+            .toPandas().sort_values(["conv_bucket", "time_chunk", "conv_id_min"]))
+    for _, g in rows.groupby(["conv_bucket", "time_chunk"]):
+        assert (g["conv_id_min"] <= g["conv_id_max"]).all()
+        prev_max = g["conv_id_max"].shift(1)
+        ok = prev_max.isna() | (g["conv_id_min"] > prev_max)
+        assert ok.all(), g
+    # round-trip identical to the unsplit encode
+    cols = ["conv_id", "turn_idx", "text", "ts_us", "latency_s"]
+    src = _sorted_pdf(canonical, cols)
+    got = _sorted_pdf(decode_segments(segs, cols), cols)
+    assert (got["text"].to_numpy() == src["text"].to_numpy()).all()
+    assert (got["ts_us"].to_numpy() == src["ts_us"].to_numpy()).all()
+    assert (got["latency_s"].to_numpy().view(np.uint64)
+            == src["latency_s"].to_numpy().view(np.uint64)).all()
+    segs.unpersist()
+
+
+def test_single_conv_read_decodes_only_matching_subsegments(spark, canonical, tmp_path):
+    """The committed single-conv read path must decode ∝ one
+    conversation's sub-segments, not the bucket's whole share of the
+    range (the r03 'scale-killer' finding): with conv zone pruning the
+    scanned n_rows drop well below the bucket share, and the answer is
+    identical to the unpruned scan."""
+    from lindorm_tsdb_contest_java_spark.sources.segments import (
+        time_range_from_segments,
+    )
+    path = str(tmp_path / "segs_split")
+    encode_segments(canonical, segment_rows=64).write.parquet(path)
+    seg = spark.read.parquet(path)
+    total = seg.agg(F.sum("n_rows")).collect()[0][0]
+    conv = "conv-00000001"
+    bucket = canonical.filter(F.col("conv_id") == conv) \
+                      .select("conv_bucket").first()["conv_bucket"]
+    bucket_rows = seg.filter(F.col("conv_bucket") == bucket) \
+                     .agg(F.sum("n_rows")).collect()[0][0]
+    pruned_rows = seg.filter(
+        (F.col("conv_bucket") == bucket)
+        & (F.col("conv_id_min") <= conv) & (F.col("conv_id_max") >= conv)
+    ).agg(F.sum("n_rows")).collect()[0][0]
+    # strictly better than bucket-only pruning (the old behavior)
+    assert pruned_rows < bucket_rows < total
+    assert pruned_rows <= bucket_rows / 2, (pruned_rows, bucket_rows)
+    got = time_range_from_segments(
+        seg, conv, 0, 2 * 10**12, ["conv_id", "turn_idx", "ts_us"], n_buckets=8)
+    exp = canonical.filter(F.col("conv_id") == conv) \
+                   .select("conv_id", "turn_idx", "ts_us")
+    assert sorted(map(str, got.collect())) == sorted(map(str, exp.collect()))
