@@ -445,9 +445,14 @@ def _q_simhash(spark, sf_dir):
 
 
 def _q_ann_cosine_topk(spark, sf_dir):
+    # backend="expr" on every ANN/embedding driver query: the expression
+    # fold is the math the DuckDB oracle evaluates, so value checks are
+    # summation-order-identical. Production default is backend="kernel"
+    # (Arrow numpy matmul — same math at BLAS speed; see datapipe.py).
     emb = _emb(spark, sf_dir)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    out = DP.cosine_topk(emb.filter(F.col("vec_id") > 0), qvec, k=10)
+    out = DP.cosine_topk(emb.filter(F.col("vec_id") > 0), qvec, k=10,
+                         backend="expr")
     return _round(out, ["cosine"], 4)
 
 
@@ -456,12 +461,14 @@ def _q_ann_lsh(spark, sf_dir):
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     # 4 planes = 16 buckets: the query's bucket is well-populated at every
     # driver SF, so the value check is non-vacuous
-    out = DP.ann_lsh_topk(emb.filter(F.col("vec_id") > 0), qvec, k=10, n_planes=4)
+    out = DP.ann_lsh_topk(emb.filter(F.col("vec_id") > 0), qvec, k=10,
+                          n_planes=4, backend="expr")
     return _round(out, ["cosine"], 4)
 
 
 def _q_embedding_top_pairs(spark, sf_dir):
-    out = DP.embedding_top_pairs(_emb(spark, sf_dir), limit_ids=200, k=20)
+    out = DP.embedding_top_pairs(_emb(spark, sf_dir), limit_ids=200, k=20,
+                                 backend="expr")
     return _round(out, ["cosine"], 4)
 
 
@@ -469,14 +476,15 @@ def _q_ann_ivf(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     out = DP.ivf_topk(emb.filter(F.col("vec_id") > 0), qvec, k=10,
-                      n_centroids=32, n_probe=2)
+                      n_centroids=32, n_probe=2, backend="expr")
     return _round(out, ["cosine"], 4)
 
 
 def _q_embedding_lsh_pairs(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     dim = len(emb.first()["embedding"])
-    return _round(DP.embedding_lsh_pairs(emb, dim, k=20, n_planes=6),
+    return _round(DP.embedding_lsh_pairs(emb, dim, k=20, n_planes=6,
+                                         backend="expr"),
                   ["cosine"], 4)
 
 
@@ -893,11 +901,29 @@ bandex AS (
                             minhash[4*b+3], minhash[4*b+4])) AS key
   FROM mh, (SELECT unnest(range(0, 4)) AS b)
 ),
-pairs AS (
+bsz AS (
+  SELECT b, key, COUNT(*) AS n, MIN(doc_id) AS rep
+  FROM bandex GROUP BY b, key
+),
+pairs_small AS (
   SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
          a.hs AS hs_a, c.hs AS hs_b
-  FROM bandex a JOIN bandex c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+  FROM bandex a
+  JOIN bandex c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+  JOIN bsz s ON s.b = a.b AND s.key = a.key
+  WHERE s.n <= """ + str(DP.LSH_MAX_BUCKET) + """
 ),
+pairs_big AS (
+  -- the hot-bucket valve's star pairs: oversized buckets reduce to
+  -- (min-id representative, member) pairs, mirroring Spark's cap
+  SELECT DISTINCT s.rep AS id_a, x.doc_id AS id_b,
+         r.hs AS hs_a, x.hs AS hs_b
+  FROM bandex x
+  JOIN bsz s ON s.b = x.b AND s.key = x.key
+  JOIN mh r ON r.doc_id = s.rep
+  WHERE s.n > """ + str(DP.LSH_MAX_BUCKET) + """ AND x.doc_id <> s.rep
+),
+pairs AS (SELECT * FROM pairs_small UNION SELECT * FROM pairs_big),
 scored AS (
   SELECT id_a, id_b,
          len(list_intersect(hs_a, hs_b)) * 1.0 /

@@ -265,3 +265,114 @@ def test_simhash_kernel_null_text_matches_expr(spark):
         "doc_id", simhash_column(F.col("text"), backend="expr").alias("sh")).collect()}
     assert k == e
     assert k["b"] == 0 and k["c"] == 0
+
+
+def test_lsh_hot_bucket_valve_star_pairs(spark):
+    """r03 verdict ask #2: a boilerplate cluster (many identical docs) is
+    ONE LSH bucket per band — without the valve, one collect_list row
+    holding every member's shingle-hash array. With the valve, oversized
+    buckets emit O(k) star pairs against the min-id representative and
+    are never collected."""
+    n_hot = 2000
+    rows = [(i, "identical boilerplate text repeated everywhere always forever")
+            for i in range(n_hot)]
+    # plus a small disjoint near-dup pair that must be unaffected
+    rows += [(5000, "a genuinely different document about spark and arrow"),
+             (5001, "a genuinely different document about spark and arrow")]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sh = DP.with_shingles(DP.with_tokens(docs), n=3)
+    pairs = DP.lsh_candidate_pairs(
+        DP.minhash_signatures(sh), "doc_id", max_bucket=64).toPandas()
+    hot = pairs[pairs["id_b"] < 5000]
+    # star shape: exactly k-1 pairs, all anchored at the representative
+    assert len(hot) == n_hot - 1
+    assert (hot["id_a"] == 0).all()
+    assert (hot["jaccard"] == 1.0).all()
+    # connectivity for dedup-grouping: every member appears in some pair
+    assert set(hot["id_b"]) == set(range(1, n_hot))
+    # the small bucket is untouched by the cap
+    small = pairs[pairs["id_a"] == 5000]
+    assert len(small) == 1 and small.iloc[0]["id_b"] == 5001
+
+
+def test_lsh_cap_no_effect_below_threshold(docs):
+    """On a corpus whose buckets are all under the cap, the valve is a
+    no-op: capped and effectively-uncapped runs emit identical pairs."""
+    sh = DP.with_shingles(DP.with_tokens(docs), n=3)
+    sigs = DP.minhash_signatures(sh)
+    capped = DP.lsh_candidate_pairs(sigs, "doc_id", max_bucket=64) \
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    uncapped = DP.lsh_candidate_pairs(sigs, "doc_id", max_bucket=10**9) \
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(capped, uncapped)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(400, dtype=np.int64),
+        "embedding": [rng.standard_normal(32).astype(np.float64).tolist()
+                      for _ in range(400)],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_cosine_kernel_matches_expr(vecs):
+    """r03 verdict ask #3: the Arrow numpy cosine kernel must agree with
+    the interpreted expression fold (same float64 math; summation order
+    differs only at last-ulp level) and pick the same top-k."""
+    qvec = vecs.filter(F.col("vec_id") == 0).first()["embedding"]
+    sub = vecs.filter(F.col("vec_id") > 0)
+    k = DP.cosine_topk(sub, qvec, k=20, backend="kernel").toPandas()
+    e = DP.cosine_topk(sub, qvec, k=20, backend="expr").toPandas()
+    assert list(k["vec_id"]) == list(e["vec_id"])
+    assert np.allclose(k["cosine"], e["cosine"], rtol=1e-9, atol=1e-12)
+
+
+def test_lsh_bucket_kernel_matches_expr(vecs):
+    planes = [DP.lsh_plane(p, 32) for p in range(6)]
+    v = F.col("embedding").cast("array<double>")
+    both = vecs.select(
+        DP._bucket_expr(v, planes, "kernel").alias("kb"),
+        DP._bucket_expr(v, planes, "expr").alias("eb"))
+    assert both.filter(F.col("kb") != F.col("eb")).count() == 0
+
+
+def test_ann_lsh_and_pairs_kernel_match_expr(vecs):
+    qvec = vecs.filter(F.col("vec_id") == 0).first()["embedding"]
+    sub = vecs.filter(F.col("vec_id") > 0)
+    k = DP.ann_lsh_topk(sub, qvec, k=10, n_planes=4, backend="kernel").toPandas()
+    e = DP.ann_lsh_topk(sub, qvec, k=10, n_planes=4, backend="expr").toPandas()
+    assert list(k["vec_id"]) == list(e["vec_id"])
+    assert np.allclose(k["cosine"], e["cosine"], rtol=1e-9)
+    kp = DP.embedding_lsh_pairs(vecs, 32, k=15, n_planes=5, backend="kernel").toPandas()
+    ep = DP.embedding_lsh_pairs(vecs, 32, k=15, n_planes=5, backend="expr").toPandas()
+    assert list(kp["id_a"]) == list(ep["id_a"]) and list(kp["id_b"]) == list(ep["id_b"])
+    assert np.allclose(kp["cosine"], ep["cosine"], rtol=1e-9)
+
+
+def test_ivf_kernel_assignment_matches_expr(vecs):
+    """The shuffle-free matmul assignment must agree with the
+    crossJoin+min_by expr backend on cells AND results."""
+    qvec = vecs.filter(F.col("vec_id") == 0).first()["embedding"]
+    sub = vecs.filter(F.col("vec_id") > 0)
+    k = DP.ivf_topk(sub, qvec, k=10, n_centroids=16, n_probe=3,
+                    backend="kernel").toPandas()
+    e = DP.ivf_topk(sub, qvec, k=10, n_centroids=16, n_probe=3,
+                    backend="expr").toPandas()
+    assert list(k["vec_id"]) == list(e["vec_id"])
+    assert list(k["cell"]) == list(e["cell"])
+    assert np.allclose(k["cosine"], e["cosine"], rtol=1e-9)
+
+
+def test_ivf_kernel_is_shuffle_free(vecs):
+    """The kernel assignment plan must contain no exchange (the expr
+    backend pays a crossJoin + groupBy shuffle of n x n_centroids rows)."""
+    from lindorm_tsdb_contest_java_spark.plans.audit import facts
+    qvec = [0.1] * 32
+    out = DP.ivf_topk(vecs, qvec, k=5, n_centroids=8, n_probe=2,
+                      backend="kernel")
+    # TakeOrdered's final gather is not an Exchange node; assignment+filter
+    # must add none
+    assert facts(out).n_shuffles == 0, facts(out).plan
