@@ -47,10 +47,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .operators import queries as Q
 from .operators.tiers import (
-    DAY_MS, HOUR_MS, MINUTE_MS, build_conv_tier, latest_from_tier,
+    DAY_MS, HOUR_MS, MINUTE_MS, build_conv_tier, build_rate_tier,
+    latest_from_tier, tier_percentiles,
 )
 from .ops.pipeline import RollupPipeline
-from .plans.router import routed_aggregate, routed_downsample
+from .plans.router import classify_preds, routed_aggregate, routed_downsample
 from .sources.segments import (
     CANONICAL_COLUMNS, DEFAULT_CHUNK_US, canonicalize, decode_segments,
     time_range_from_segments, with_ts,
@@ -414,6 +415,66 @@ class TranscriptTSDB:
             out = out.unionByName(more)
         return out
 
+    # straddle-set bound: above this many straddling buckets the engine
+    # decodes the whole range in one scan instead of a range per run —
+    # a plan-size valve, not a correctness limit
+    _STRADDLE_CAP = 512
+
+    def _downsample_raw(self, tier, conv_id: str, column: str, lb_ms: int,
+                        ub_ms: int, interval_ms: int,
+                        filter_op: str | None, filter_value) -> DataFrame:
+        """STRADDLING-ONLY decode for the routed downsample (r03 verdict
+        ask #4): the reference decodes only the blocks the filter cuts
+        through and answers covered blocks from AggBuckets
+        (TSDBEngineImpl.java:417-439). The straddle bucket set is
+        computed from the 1m tier first (tiny: one conv's in-range
+        buckets, driver-collected like _fast_flush_chunks), its
+        classification predicates SHARED with routed_downsample
+        (plans/router.classify_preds), and only the contiguous runs of
+        straddling minutes are decoded — covered buckets' segments are
+        pruned at the parquet scan instead of decoded and dropped by the
+        join. Falls back to the full-range decode when the grid is
+        unaligned (router falls back to the plain downsample there,
+        which needs every raw row) or the straddle set exceeds the cap."""
+        aligned = not ((lb_ms % MINUTE_MS) or (interval_ms % MINUTE_MS)
+                      or (ub_ms - lb_ms) % interval_ms)
+        if not aligned:
+            return self._range_decode(conv_id, lb_ms, ub_ms, column)
+        # plan-only dtype probe (no job): the decoded-view column type
+        vtype = dict(self._range_decode(conv_id, lb_ms, lb_ms,
+                                        column).dtypes)[column]
+        pass_all, pass_none = classify_preds(column, filter_op,
+                                             filter_value, vtype)
+        rows = (tier.filter((F.col("conv_id") == conv_id)
+                            & (F.col("bucket_ms") >= lb_ms)
+                            & (F.col("bucket_ms") < ub_ms))
+                .filter(~pass_all & ~pass_none)
+                .select("bucket_ms").limit(self._STRADDLE_CAP + 1).collect())
+        if len(rows) > self._STRADDLE_CAP:
+            return self._range_decode(conv_id, lb_ms, ub_ms, column)
+        buckets = sorted(int(r["bucket_ms"]) for r in rows)
+        if not buckets:
+            # nothing straddles (e.g. unfiltered queries: every bucket is
+            # covered): an empty-but-schema-correct relation, no decode
+            # scan at all
+            return self._range_decode(conv_id, lb_ms, lb_ms,
+                                      column).filter(F.lit(False))
+        ranges = []  # merge adjacent minutes into contiguous decode runs
+        start = prev = buckets[0]
+        for b in buckets[1:]:
+            if b == prev + MINUTE_MS:
+                prev = b
+            else:
+                ranges.append((start, prev + MINUTE_MS))
+                start = prev = b
+        ranges.append((start, prev + MINUTE_MS))
+        parts = [self._range_decode(conv_id, lo, hi, column)
+                 for lo, hi in ranges]
+        out = parts[0]
+        for more in parts[1:]:
+            out = out.unionByName(more)
+        return out
+
     # ---------- the four query types ----------
 
     def execute_latest_query(self, conv_ids: list[str] | None = None,
@@ -475,20 +536,51 @@ class TranscriptTSDB:
         (AggBucket classification); only straddling buckets decode from
         segments. Buffered state: memtable-visible canonical path."""
         if self._committed():
-            raw = self._range_decode(conv_id, lb_ms, ub_ms, column)
             if column in _TIER_COLUMNS:
-                return routed_downsample(raw, self._tier_1m.read(self.spark),
-                                         conv_id, column, lb_ms, ub_ms,
-                                         interval_ms, agg, filter_op,
+                tier = self._tier_1m.read(self.spark)
+                raw = self._downsample_raw(tier, conv_id, column, lb_ms,
+                                           ub_ms, interval_ms, filter_op,
+                                           filter_value)
+                return routed_downsample(raw, tier, conv_id, column, lb_ms,
+                                         ub_ms, interval_ms, agg, filter_op,
                                          filter_value)
-            return Q.downsample(raw, conv_id, column, lb_ms, ub_ms,
-                                interval_ms, agg, filter_op, filter_value)
+            return Q.downsample(
+                self._range_decode(conv_id, lb_ms, ub_ms, column), conv_id,
+                column, lb_ms, ub_ms, interval_ms, agg, filter_op,
+                filter_value)
         if column in _TIER_COLUMNS:
             return routed_downsample(self._canonical(), self._tier(), conv_id,
                                      column, lb_ms, ub_ms, interval_ms, agg,
                                      filter_op, filter_value)
         return Q.downsample(self._canonical(), conv_id, column, lb_ms, ub_ms,
                             interval_ms, agg, filter_op, filter_value)
+
+
+    def execute_percentile_query(self, lb_ms: int, ub_ms: int,
+                                 qs: tuple = (0.5, 0.9, 0.99),
+                                 role: str | None = None,
+                                 tool: str | None = None) -> DataFrame:
+        """Latency percentiles per (role, tool) over [lb, ub), served
+        from the COMMITTED rate tier's mergeable t-digest sketches
+        (operators/tiers.tier_percentiles — the north-star 'percentile
+        sketches cascading through tiers' read side): a year-long query
+        reads minute-granularity sketches, never raw turns. No reference
+        analog (the contest's only aggregators are AVG/MAX,
+        structs/Aggregator.java:28-31); this is the target-spec
+        addition, reachable from the same 8-method facade a user holds.
+        Buffered unflushed rows force the memtable-visible path (the
+        rate tier is derived from the canonical view on the fly).
+        Columns: role, tool, n_turns, p50/p90/... (one per q)."""
+        if self._committed():
+            tier = self._pipeline.table("tier_rate_1m").read(self.spark)
+        else:
+            tier = build_rate_tier(self._canonical(), MINUTE_MS)
+        out = tier_percentiles(tier, lb_ms, ub_ms, qs)
+        if role is not None:
+            out = out.filter(F.col("role") == role)
+        if tool is not None:
+            out = out.filter(F.col("tool") == tool)
+        return out
 
 
 def connect(spark: SparkSession, root: str, **kw) -> TranscriptTSDB:

@@ -93,6 +93,33 @@ def routed_aggregate(
     )
 
 
+def classify_preds(column: str, filter_op: str | None, filter_value,
+                   vtype: str):
+    """(pass_all, pass_none) bucket-classification predicates over tier
+    zone columns — the reference's AggBucket classification
+    (TSDBEngineImpl.java:489-494,519-521). Shared by routed_downsample's
+    in-plan split and the engine's driver-side straddle-set bound (which
+    must classify IDENTICALLY or the decode could miss a straddler)."""
+    from ..operators import queries as Q
+
+    min_col, max_col = _TIER_MINMAX[column]
+    if filter_op is None:
+        return F.lit(True), F.lit(False)
+    if Q.type_mismatch(vtype, filter_value):
+        # mismatched filter type matches nothing (CompareExpression.java:44-46):
+        # every bucket classifies as fully-failing, all windows -> sentinel
+        return F.lit(False), F.lit(True)
+    if filter_op == Q.GREATER:
+        return (F.col(min_col) > F.lit(filter_value),
+                F.col(max_col) <= F.lit(filter_value))
+    if filter_op == Q.EQUAL:
+        return ((F.col(min_col) == F.lit(filter_value))
+                & (F.col(max_col) == F.lit(filter_value)),
+                (F.col(max_col) < F.lit(filter_value))
+                | (F.col(min_col) > F.lit(filter_value)))
+    raise ValueError(f"unsupported compare op {filter_op!r}")
+
+
 def routed_downsample(
     raw: DataFrame,
     tier_1m: DataFrame,
@@ -139,24 +166,7 @@ def routed_downsample(
     buckets = tier_1m.filter(
         (F.col("conv_id") == conv_id)
         & (F.col("bucket_ms") >= lb_ms) & (F.col("bucket_ms") < ub_ms))
-    if filter_op is None:
-        pass_all = F.lit(True)
-        pass_none = F.lit(False)
-    elif Q.type_mismatch(vtype, filter_value):
-        # mismatched filter type matches nothing (CompareExpression.java:44-46):
-        # every bucket classifies as fully-failing, all windows -> sentinel
-        pass_all = F.lit(False)
-        pass_none = F.lit(True)
-    elif filter_op == Q.GREATER:
-        pass_all = F.col(min_col) > F.lit(filter_value)
-        pass_none = F.col(max_col) <= F.lit(filter_value)
-    elif filter_op == Q.EQUAL:
-        pass_all = (F.col(min_col) == F.lit(filter_value)) & \
-                   (F.col(max_col) == F.lit(filter_value))
-        pass_none = (F.col(max_col) < F.lit(filter_value)) | \
-                    (F.col(min_col) > F.lit(filter_value))
-    else:
-        raise ValueError(f"unsupported compare op {filter_op!r}")
+    pass_all, pass_none = classify_preds(column, filter_op, filter_value, vtype)
 
     w_of_bucket = F.floor((F.col("bucket_ms") - F.lit(lb_ms)) / F.lit(interval_ms))
     covered = (buckets.filter(pass_all)

@@ -271,3 +271,91 @@ def test_register_views_sql_surface(spark, transcripts_pdf, tmp_path):
     row = spark.sql(
         "SELECT sum(n_turns) AS t FROM sv_tier_conv_1m").collect()[0]
     assert row["t"] == expected
+
+
+def _minute_pattern_engine(spark, tmp_path, name):
+    """Engine with one conversation, one turn per 10 s over 6 minutes:
+    minutes 0-1 all text_len > 10 (fully passing for GREATER 10),
+    minute 2 mixed (straddling), minutes 3-5 all <= 10 (fully failing)."""
+    base_s = 1_704_067_200  # minute-aligned
+    rows = []
+    for m in range(6):
+        for i in range(6):
+            if m < 2:
+                text = "x" * 20
+            elif m == 2:
+                text = "x" * (20 if i % 2 else 5)
+            else:
+                text = "x" * 5
+            rows.append(("c-straddle", m * 6 + i, "user", text, "-",
+                         pd.Timestamp((base_s + m * 60 + i * 10) * 10**9)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                      "text", "tool", "ts"])
+    e = eng.connect(spark, str(tmp_path / name), n_buckets=4)
+    e.write(spark.createDataFrame(pdf))
+    e.shutdown()
+    return e, base_s * 1000, pdf
+
+
+def test_downsample_decodes_only_straddling_buckets(spark, tmp_path):
+    """r03 verdict ask #4: the committed routed downsample must decode
+    ONLY the buckets the filter cuts through. Values must equal the
+    memtable-path oracle, and the decode scan's pushed time bounds must
+    cover just the straddling minute — not the whole [lb, ub)."""
+    e, lb, pdf = _minute_pattern_engine(spark, tmp_path, "straddle")
+    ub = lb + 6 * 60_000
+    got = e.execute_downsample_query("c-straddle", "text_len", lb, ub,
+                                     120_000, "AVG", "GREATER", 10)
+    # oracle: the same query through a buffered (memtable) engine
+    e2 = eng.connect(spark, str(tmp_path / "straddle-oracle"), n_buckets=4)
+    e2.write(spark.createDataFrame(pdf))
+    exp = e2.execute_downsample_query("c-straddle", "text_len", lb, ub,
+                                      120_000, "AVG", "GREATER", 10)
+    assert sorted(map(str, got.collect())) == sorted(map(str, exp.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the straddling minute is minute 2: decode range [lb+2m, lb+3m)
+    straddle_hi_us = (lb + 3 * 60_000) * 1000
+    full_ub_us = ub * 1000
+    assert str(straddle_hi_us) in plan, plan
+    assert str(full_ub_us) not in plan, \
+        "decode scan still bounded by the full range"
+
+
+def test_downsample_unfiltered_needs_no_decode(spark, tmp_path):
+    """Aligned unfiltered downsample: every bucket is covered by the 1m
+    tier, so the committed plan must contain NO segment decode at all."""
+    e, lb, pdf = _minute_pattern_engine(spark, tmp_path, "nodecode")
+    ub = lb + 6 * 60_000
+    got = e.execute_downsample_query("c-straddle", "text_len", lb, ub,
+                                     120_000, "AVG")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "blob_" not in plan, "covered-only query decoded segments"
+    # and the values still match the memtable oracle
+    e2 = eng.connect(spark, str(tmp_path / "nodecode-oracle"), n_buckets=4)
+    e2.write(spark.createDataFrame(pdf))
+    exp = e2.execute_downsample_query("c-straddle", "text_len", lb, ub,
+                                      120_000, "AVG")
+    assert sorted(map(str, got.collect())) == sorted(map(str, exp.collect()))
+
+
+def test_percentile_query_on_facade(spark, db, oracle_pdf):
+    """r03 verdict ask #5: latency percentiles reachable through the
+    engine facade, served from the committed rate tier's t-digests,
+    rank-accurate against the exact latencies."""
+    lo_ms = int(oracle_pdf["ts_us"].min() // 1000) - 60_000
+    hi_ms = int(oracle_pdf["ts_us"].max() // 1000) + 60_000
+    got = db.execute_percentile_query(lo_ms, hi_ms).toPandas()
+    assert {"role", "tool", "n_turns", "p50", "p90", "p99"} <= set(got.columns)
+    assert len(got) > 0
+    for r in got.itertuples():
+        lat = oracle_pdf[(oracle_pdf["role"] == r.role)
+                         & (oracle_pdf["tool"] == r.tool)]["latency_s"]
+        assert r.n_turns == len(lat)
+        for q, est in ((0.5, r.p50), (0.9, r.p90)):
+            rank = (lat.to_numpy() <= est).mean()
+            assert abs(rank - q) < 0.02, (r.role, r.tool, q, est, rank)
+    # scoped variant
+    one = got.iloc[0]
+    scoped = db.execute_percentile_query(lo_ms, hi_ms, role=one["role"],
+                                         tool=one["tool"]).toPandas()
+    assert len(scoped) == 1 and scoped.iloc[0]["p50"] == one["p50"]
