@@ -103,7 +103,7 @@ class TranscriptTSDB:
         self._buffer.append(df.select("conv_id", "turn_idx", "role", "text", "tool", "ts"))
         self._canon_cache = self._tier_cache = None
 
-    def shutdown(self) -> None:
+    def shutdown(self, cascade: bool = True) -> None:
         """Flush + durable commit with MEMTABLE-FLUSH cost, then retire
         the ingest log — the reference's storage model taken all the way
         (it persists only the memtable remainder at shutdown and keeps
@@ -137,7 +137,13 @@ class TranscriptTSDB:
         flush_state.json, so disordered history permanently (and
         correctly) disables the shortcut. input_snapshot is pinned to 0:
         fingerprints are content-addressed (count + ts bounds + key
-        hash-sum + codec version) and carry across snapshots."""
+        hash-sum + codec version) and carry across snapshots.
+
+        `cascade=False` defers the 1h/1d coarse rebuild (crash-safe via
+        the checkpoint's cascade_pending set) — the streaming sink's
+        amortization lever: call `run_cascade()` (or a later plain
+        shutdown) to catch up. 1m-tier/segment-served queries are
+        unaffected; only 1h/1d coarse reads lag until then."""
         if self._buffer:
             batch = self._buffer[0]
             for more in self._buffer[1:]:
@@ -151,7 +157,8 @@ class TranscriptTSDB:
                 if touched is not None:
                     self._pipeline.run(
                         self._fast_flush_input(new_rows, touched),
-                        input_snapshot=0, restrict_chunks=touched)
+                        input_snapshot=0, restrict_chunks=touched,
+                        cascade=cascade)
                 else:
                     full = self._decoded_input().unionByName(new_rows)
                     # pessimistic across the crash window: anything that
@@ -159,16 +166,22 @@ class TranscriptTSDB:
                     # the flag False (fast path off), never wrongly True
                     self._set_ordered(False)
                     m = self._pipeline.run(full, input_snapshot=0,
-                                           check_order=True)
+                                           check_order=True, cascade=cascade)
                     self._set_ordered(bool(m.get("per_conv_ordered")))
             else:
                 self._set_ordered(False)
                 m = self._pipeline.run(new_rows, input_snapshot=0,
-                                       check_order=True)
+                                       check_order=True, cascade=cascade)
                 self._set_ordered(bool(m.get("per_conv_ordered")))
             self._raw.truncate(meta={"reason": "flushed"})
             self._raw.vacuum()
         self._canon_cache = self._tier_cache = None
+
+    def run_cascade(self) -> None:
+        """Catch the 1h/1d coarse tiers up after deferred-cascade
+        flushes (`shutdown(cascade=False)`); no-op when nothing is
+        pending."""
+        self._pipeline.cascade()
 
     def register_views(self, prefix: str = "") -> list[str]:
         """Expose the committed store to `spark.sql` as temp views:
@@ -238,28 +251,38 @@ class TranscriptTSDB:
             return None
         nr = new_rows.withColumn(
             "ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+        # ONE Spark job for the whole eligibility probe (was three: two
+        # violation checks + the chunk collect — each paying this box's
+        # ~1.5-2 s fixed small-job floor, the dominant cost of a small
+        # streaming flush). The three branches union into (kind, value)
+        # rows; any 'bad' row disqualifies, the rest are touched chunks.
         w = Window.partitionBy("conv_id").orderBy("turn_idx")
         internal_bad = (nr.select(
             "conv_id", "turn_idx", "ts_us",
             F.lag("turn_idx").over(w).alias("_pt"),
             F.lag("ts_us").over(w).alias("_pts"))
             .filter((F.col("_pt") == F.col("turn_idx"))
-                    | (F.col("_pts") >= F.col("ts_us"))))
-        if internal_bad.limit(1).count():
-            return None
+                    | (F.col("_pts") >= F.col("ts_us")))
+            .select(F.lit("bad").alias("k"),
+                    F.lit(0).cast("long").alias("v")).limit(1))
         latest = latest_from_tier(
             self._tier_latest.read(self.spark), columns=["turn_idx", "ts_us"])
         firsts = nr.groupBy("conv_id").agg(
             F.min("turn_idx").alias("_bt"), F.min("ts_us").alias("_bts"))
         vs_committed_bad = (firsts.join(latest, "conv_id")
                             .filter((F.col("_bt") <= F.col("turn_idx"))
-                                    | (F.col("_bts") <= F.col("ts_us"))))
-        if vs_committed_bad.limit(1).count():
-            return None
+                                    | (F.col("_bts") <= F.col("ts_us")))
+                            .select(F.lit("bad").alias("k"),
+                                    F.lit(0).cast("long").alias("v")).limit(1))
         chunk_us = self._pipeline.chunk_us or DEFAULT_CHUNK_US
-        rows = (nr.select(F.floor(F.col("ts_us") / F.lit(chunk_us))
-                          .cast("long").alias("c")).distinct().collect())
-        return sorted(int(r["c"]) for r in rows)
+        chunks = (nr.select(F.floor(F.col("ts_us") / F.lit(chunk_us))
+                            .cast("long").alias("v")).distinct()
+                  .select(F.lit("chunk").alias("k"), "v"))
+        rows = (internal_bad.unionByName(vs_committed_bad)
+                .unionByName(chunks).collect())
+        if any(r["k"] == "bad" for r in rows):
+            return None
+        return sorted(int(r["v"]) for r in rows)
 
     def _fast_flush_input(self, new_rows: DataFrame,
                           touched: list[int]) -> DataFrame:

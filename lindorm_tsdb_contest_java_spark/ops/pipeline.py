@@ -218,7 +218,7 @@ class RollupPipeline:
 
     def run(self, transcripts: DataFrame, input_snapshot: int = 0,
             restrict_chunks: list[int] | None = None,
-            check_order: bool = False) -> dict:
+            check_order: bool = False, cascade: bool = True) -> dict:
         """Process every time_chunk not yet checkpointed. Returns metrics.
 
         `restrict_chunks` is the engine's incremental-flush contract: the
@@ -233,7 +233,15 @@ class RollupPipeline:
         canonical data is (turn_idx asc => ts strictly asc) within every
         conversation (negative canonical latency is exactly a
         violation). It rides the cached canon this run already built —
-        no second canonicalize pass."""
+        no second canonicalize pass.
+
+        `cascade=False` defers the 1h/1d rebuild: the changed chunks stay
+        in the checkpoint's crash-safe `cascade_pending` set and a later
+        run (or an explicit `cascade()`) catches up — the streaming-sink
+        amortization (per-micro-batch flushes otherwise pay the coarse
+        rebuild's fixed job floor every batch). Until the catch-up, the
+        1h/1d tiers lag the 1m tier by the pending chunks; 1m-tier and
+        segment reads (every engine query path) are unaffected."""
         kwargs = {"chunk_us": self.chunk_us} if self.chunk_us else {}
         canon = canonicalize(transcripts, n_buckets=self.n_buckets, **kwargs)
         if restrict_chunks is not None:
@@ -241,7 +249,8 @@ class RollupPipeline:
                 F.col("time_chunk").isin([int(c) for c in restrict_chunks]))
         canon = canon.cache()
         try:
-            metrics = self._run_chunks(canon, input_snapshot)
+            metrics = self._run_chunks(canon, input_snapshot,
+                                       cascade=cascade)
             if check_order:
                 metrics["per_conv_ordered"] = (
                     canon.filter(F.col("latency_s") < 0).limit(1).count() == 0)
@@ -249,7 +258,8 @@ class RollupPipeline:
         finally:
             canon.unpersist()
 
-    def _run_chunks(self, canon: DataFrame, input_snapshot: int) -> dict:
+    def _run_chunks(self, canon: DataFrame, input_snapshot: int,
+                    cascade: bool = True) -> dict:
         # per-chunk content fingerprint (count + ts bounds + key hash-sum):
         # incremental processing redoes exactly the chunks whose content
         # changed since the checkpoint — new data appended into an old
@@ -280,9 +290,15 @@ class RollupPipeline:
                 raise RuntimeError("simulated failure (test hook)")
             self._run_batch(canon, batch, fingerprints, input_snapshot, metrics)
 
-        self._cascade()
+        if cascade:
+            self.cascade()
         self.lineage.compact()
         return metrics
+
+    def cascade(self) -> None:
+        """Catch the 1h/1d tiers up to the 1m tier (public entry for
+        deferred-cascade callers; a no-op when nothing is pending)."""
+        self._cascade()
 
     def _cascade(self) -> None:
         """INCREMENTAL 1h/1d rebuild: recompute only the coarse windows

@@ -22,9 +22,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..sources.segments import TRANSCRIPT_SCHEMA
 
 
-def read_transcript_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+def read_transcript_stream(spark: SparkSession, landing_dir: str,
+                           max_files_per_trigger: int = 4) -> DataFrame:
     return (spark.readStream.schema(TRANSCRIPT_SCHEMA)
-            .option("maxFilesPerTrigger", 4)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(landing_dir))
 
 
@@ -103,7 +104,9 @@ def run_available_now(tier: DataFrame, out_dir: str, checkpoint_dir: str) -> Non
 
 
 def stream_into_store(spark: SparkSession, landing_dir: str, root: str,
-                      checkpoint_dir: str, n_buckets: int = 16):
+                      checkpoint_dir: str, n_buckets: int = 16,
+                      cascade_every: int = 4,
+                      max_files_per_trigger: int = 4):
     """Continuous ingestion INTO THE ENGINE'S COMPRESSED STORE: each
     micro-batch is an engine write + memtable-cost flush, so a stream of
     landing files becomes encoded segments + maintained tiers with
@@ -112,14 +115,24 @@ def stream_into_store(spark: SparkSession, landing_dir: str, root: str,
     250-row memtable flush loop (memory/MemoryTable.java:67-70) running
     forever.
 
+    `cascade_every` amortizes the flush floor (r03 verdict ask #6): the
+    1h/1d coarse rebuild — a fixed four-job tail per flush — runs only
+    every Nth batch, the rest defer it through the checkpoint's
+    crash-safe cascade_pending set, and a final catch-up at stream end
+    guarantees the coarse tiers are current when the call returns.
+    Deferral never affects 1m-tier/segment-served queries (every engine
+    query path); only coarse 1h/1d reads would lag mid-stream.
+
     Restart safety is double-layered: the streaming checkpoint replays
     any batch whose flush didn't complete, and the pipeline's content
     fingerprints make the replayed flush a no-op for already-committed
-    chunks — effective exactly-once into the store. Returns the engine
-    (caller queries it directly)."""
+    chunks — effective exactly-once into the store (a crash between a
+    deferred flush and its catch-up re-cascades from cascade_pending on
+    the next flush). Returns the engine (caller queries it directly)."""
     from ..engine import TranscriptTSDB
 
     eng = TranscriptTSDB(spark, root, n_buckets=n_buckets)
+    seen = {"n": 0}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -127,13 +140,16 @@ def stream_into_store(spark: SparkSession, landing_dir: str, root: str,
         # the flush reads the streaming frame exactly once (the durable
         # raw append); every later job reads the appended parquet back,
         # so no multi-pass-over-streaming-frame hazard
+        seen["n"] += 1
         eng.write(batch_df)
-        eng.shutdown()
+        eng.shutdown(cascade=(cascade_every <= 1
+                              or seen["n"] % cascade_every == 0))
 
-    q = (read_transcript_stream(spark, landing_dir)
+    q = (read_transcript_stream(spark, landing_dir, max_files_per_trigger)
          .writeStream.foreachBatch(sink)
          .trigger(availableNow=True)
          .option("checkpointLocation", checkpoint_dir)
          .start())
     q.awaitTermination()
+    eng.run_cascade()  # catch-up: coarse tiers current at return
     return eng

@@ -163,3 +163,41 @@ def test_stream_into_store_equals_batch_engine(spark, tmp_path):
     got = sorted(map(str, eng._decoded_input().collect()))
     want = sorted(map(str, batch_eng._decoded_input().collect()))
     assert got == want
+
+
+def test_stream_deferred_cascade_amortizes_and_catches_up(spark, tmp_path):
+    """r03 verdict ask #6: per-micro-batch flushes defer the 1h/1d
+    cascade (cascade_every), so a 5-batch stream pays the coarse rebuild
+    twice (batch 3 + the end-of-stream catch-up), not five times — and
+    the coarse tiers are provably caught up and batch-identical when
+    stream_into_store returns."""
+    from lindorm_tsdb_contest_java_spark import engine as EM
+    from lindorm_tsdb_contest_java_spark.streaming.ingest import stream_into_store
+
+    pdf = generate_transcripts(n_conv=30, mean_turns=20, seed=9)
+    pdf = pdf.sort_values("ts").reset_index(drop=True)
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    n = len(pdf) // 5
+    for i in range(5):
+        write_transcripts_parquet(pdf.iloc[i * n:(i + 1) * n if i < 4 else len(pdf)],
+                                  f"{landing}/b{i}.parquet")
+
+    root = str(tmp_path / "store")
+    eng = stream_into_store(spark, landing, root, str(tmp_path / "ckpt"),
+                            n_buckets=8, cascade_every=3,
+                            max_files_per_trigger=1)
+    # caught up: nothing pending, and the coarse table saw FEWER commits
+    # than batches (snapshot ids are monotonic: create=0, then one per
+    # cascade that actually ran — expect 2: batch 3 + final catch-up)
+    assert eng._pipeline.checkpoint.cascade_pending() == set()
+    t1h = eng._pipeline.table("tier_conv_1h")
+    assert 0 < t1h.current().snapshot_id < 5, t1h.current().snapshot_id
+
+    batch_eng = EM.connect(spark, str(tmp_path / "batch"), n_buckets=8)
+    batch_eng.write(spark.createDataFrame(pdf))
+    batch_eng.shutdown()
+    got = sorted(map(str, t1h.read(spark).collect()))
+    want = sorted(map(str, batch_eng._pipeline.table("tier_conv_1h")
+                      .read(spark).collect()))
+    assert got == want
