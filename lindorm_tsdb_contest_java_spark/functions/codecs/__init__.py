@@ -32,14 +32,20 @@ sequential fallback reader for foreign streams).
 #  v5: conv-range sub-segments + conv_id_min/conv_id_max zone columns in
 #      the segment schema (a v4 store's parquet lacks the columns every
 #      committed read path now filters on)
-CODEC_VERSION = 5
+#  v6: blob_latency = latency codec (mode byte: plain float codec |
+#      ts-derived with first-of-run exceptions)
+#  v7: int codec gains GCD-divided delta/dod modes (LongCompress.java's
+#      seconds-granularity trick generalized to any common factor)
+CODEC_VERSION = 7
 
 from .varint import (
     zigzag_encode, zigzag_decode, varint_encode, varint_decode, varint_size,
 )
 from .dod import dod_encode, dod_decode, int_encode, int_decode
 from .gorilla import gorilla_encode, gorilla_decode
-from .floats import float_encode, float_decode
+from .floats import (
+    float_encode, float_decode, latency_encode, latency_decode,
+)
 from .strings import dict_encode, dict_decode, text_encode, text_decode
 from .framing import zstd_compress, zstd_decompress
 
@@ -49,7 +55,7 @@ __all__ = [
     "varint_size",
     "dod_encode", "dod_decode", "int_encode", "int_decode",
     "gorilla_encode", "gorilla_decode",
-    "float_encode", "float_decode",
+    "float_encode", "float_decode", "latency_encode", "latency_decode",
     "dict_encode", "dict_decode", "text_encode", "text_decode",
     "zstd_compress", "zstd_decompress",
 ]

@@ -40,8 +40,8 @@ from pyspark.sql.types import (
 )
 
 from ..functions.codecs import (
-    dict_decode, dict_encode, float_decode, float_encode,
-    int_decode, int_encode, text_decode, text_encode,
+    dict_decode, dict_encode, int_decode, int_encode,
+    latency_decode, latency_encode, text_decode, text_encode,
 )
 from ..functions.codecs.strings import dict_decode_arrow, text_decode_arrow
 
@@ -210,11 +210,20 @@ def _encode_slice(tbl: pa.Table) -> dict:
     tlen = tbl.column("text_len").to_numpy(zero_copy_only=False).astype(np.int64)
     lat = tbl.column("latency_s").to_numpy(zero_copy_only=False).astype(np.float64)
     conv_arr = tbl.column("conv_id").combine_chunks()
+    # conversation-run starts (rows are conv-sorted): the latency codec's
+    # derived mode stores only these rows' values explicitly
+    if len(conv_arr) > 1:
+        chg = pa.compute.not_equal(conv_arr.slice(1),
+                                   conv_arr.slice(0, len(conv_arr) - 1))
+        run_starts = np.r_[0, np.flatnonzero(
+            chg.to_numpy(zero_copy_only=False)) + 1]
+    else:
+        run_starts = np.zeros(1, dtype=np.int64)
     blobs = {
         "blob_ts": int_encode(ts),
         "blob_turn_idx": int_encode(turn),
         "blob_text_len": int_encode(tlen),
-        "blob_latency": float_encode(lat),
+        "blob_latency": latency_encode(lat, ts, run_starts),
         "blob_conv_id": dict_encode(conv_arr),
         "blob_role": dict_encode(tbl.column("role").combine_chunks()),
         "blob_tool": dict_encode(tbl.column("tool").combine_chunks()),
@@ -344,7 +353,11 @@ def decode_segments(segments: DataFrame, columns: list[str] | None = None) -> Da
     columns = columns or ["conv_id", "turn_idx", "role", "text", "tool",
                           "ts_us", "text_len", "latency_s"]
     out_schema = decoded_row_schema(columns)
-    needed_blobs = sorted({_BLOB_OF[c] for c in columns if c in _BLOB_OF})
+    needed_blobs = {_BLOB_OF[c] for c in columns if c in _BLOB_OF}
+    if "latency_s" in columns:
+        # the latency codec's derived mode reconstructs from ts deltas
+        needed_blobs.add("blob_ts")
+    needed_blobs = sorted(needed_blobs)
     scan_cols = ["conv_bucket", "time_chunk", "n_rows", *needed_blobs]
     pa_fields = {
         "conv_bucket": pa.int32(), "time_chunk": pa.int64(),
@@ -362,6 +375,14 @@ def decode_segments(segments: DataFrame, columns: list[str] | None = None) -> Da
             for seg in range(batch.num_rows):
                 arrs = []
                 n = d["n_rows"][seg].as_py()
+                ts_memo = None  # decode the ts blob at most once per segment
+
+                def ts_arr():
+                    nonlocal ts_memo
+                    if ts_memo is None:
+                        ts_memo = int_decode(d["blob_ts"][seg].as_py())
+                    return ts_memo
+
                 for c in columns:
                     if c == "conv_bucket":
                         arrs.append(pa.array(
@@ -369,13 +390,16 @@ def decode_segments(segments: DataFrame, columns: list[str] | None = None) -> Da
                     elif c == "time_chunk":
                         arrs.append(pa.array(
                             np.full(n, d["time_chunk"][seg].as_py(), dtype=np.int64)))
-                    elif c in ("ts_us", "text_len"):
+                    elif c == "ts_us":
+                        arrs.append(pa.array(ts_arr()))
+                    elif c == "text_len":
                         arrs.append(pa.array(int_decode(d[_BLOB_OF[c]][seg].as_py())))
                     elif c == "turn_idx":
                         arrs.append(pa.array(
                             int_decode(d["blob_turn_idx"][seg].as_py()).astype(np.int32)))
                     elif c == "latency_s":
-                        arrs.append(pa.array(float_decode(d["blob_latency"][seg].as_py())))
+                        arrs.append(pa.array(latency_decode(
+                            d["blob_latency"][seg].as_py(), ts_arr())))
                     elif c == "text":
                         arrs.append(text_decode_arrow(d["blob_text"][seg].as_py()))
                     else:  # conv_id, role, tool

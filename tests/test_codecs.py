@@ -357,3 +357,95 @@ def test_float_empty_and_single():
     assert float_decode(float_encode(np.array([], np.float64))).size == 0
     one = float_decode(float_encode(np.array([2.5])))
     assert one.tolist() == [2.5]
+
+
+# ---------- latency codec (ts-derived cross-column mode) ----------
+
+def test_latency_derived_roundtrip_and_size():
+    import numpy as np
+    from lindorm_tsdb_contest_java_spark.functions.codecs import (
+        float_encode, latency_decode, latency_encode,
+    )
+    rng = np.random.default_rng(3)
+    # 3 conversation runs over a shared ts axis, micros with noise
+    ts = np.cumsum(rng.integers(1_000_000, 90_000_000, size=3000)).astype(np.int64)
+    run_starts = np.array([0, 1000, 2200], dtype=np.int64)
+    lat = np.empty(3000)
+    lat[1:] = (ts[1:] - ts[:-1]) / 1e6
+    lat[run_starts] = [0.0, 0.0, 12.5]
+    blob = latency_encode(lat, ts, run_starts)
+    assert blob[0] == 1  # derived mode chosen
+    got = latency_decode(blob, ts)
+    assert (got.view(np.int64) == lat.view(np.int64)).all()
+    # the whole point: orders of magnitude below the plain float codec
+    assert len(blob) < len(float_encode(lat)) / 20
+
+
+def test_latency_fallback_when_not_derivable():
+    """Any mismatch (disordered history, NaN payloads, arbitrary floats)
+    must fall back to the plain float codec, bit-exactly."""
+    import numpy as np
+    from lindorm_tsdb_contest_java_spark.functions.codecs import (
+        latency_decode, latency_encode,
+    )
+    rng = np.random.default_rng(4)
+    ts = np.cumsum(rng.integers(1, 10**7, size=500)).astype(np.int64)
+    for lat in (
+        rng.standard_normal(500),                          # unrelated floats
+        np.where(np.arange(500) == 7, np.nan, 1.0),        # NaN payload
+        np.r_[(ts[1] - ts[0]) / 1e6, rng.standard_normal(499)],
+    ):
+        lat = np.ascontiguousarray(lat, dtype=np.float64)
+        blob = latency_encode(lat, ts, np.array([0], dtype=np.int64))
+        assert blob[0] == 0  # plain mode
+        got = latency_decode(blob, ts)
+        assert (got.view(np.int64) == lat.view(np.int64)).all()
+
+
+def test_latency_empty_and_single():
+    import numpy as np
+    from lindorm_tsdb_contest_java_spark.functions.codecs import (
+        latency_decode, latency_encode,
+    )
+    e = latency_encode(np.zeros(0), np.zeros(0, dtype=np.int64),
+                       np.zeros(0, dtype=np.int64))
+    assert latency_decode(e, np.zeros(0, dtype=np.int64)).size == 0
+    one = latency_encode(np.array([4.25]), np.array([99], dtype=np.int64),
+                         np.array([0], dtype=np.int64))
+    got = latency_decode(one, np.array([99], dtype=np.int64))
+    assert got.tolist() == [4.25]
+
+
+def test_int_gcd_mode_roundtrip_and_wins_on_ms_grid():
+    """ms-granularity timestamps on a microsecond axis: every delta is a
+    multiple of 1000 — the GCD mode (LongCompress.java's /1000 trick
+    generalized) must win the chooser and round-trip exactly."""
+    import numpy as np
+    from lindorm_tsdb_contest_java_spark.functions.codecs import (
+        int_decode, int_encode,
+    )
+    from lindorm_tsdb_contest_java_spark.functions.codecs.dod import (
+        MODE_DELTA_GCD, MODE_DOD_GCD,
+    )
+    rng = np.random.default_rng(6)
+    ts = np.cumsum(rng.integers(1, 60_000, size=4000) * 1000).astype(np.int64)
+    blob = int_encode(ts)
+    assert blob[0] in (MODE_DELTA_GCD, MODE_DOD_GCD), blob[0]
+    assert (int_decode(blob) == ts).all()
+    # and it actually saves vs a forced non-gcd encode of the same data
+    noisy = ts + rng.integers(0, 2, size=4000)  # breaks the gcd
+    assert int_encode(noisy)[0] not in (MODE_DELTA_GCD, MODE_DOD_GCD)
+    assert len(blob) < len(int_encode(noisy))
+
+
+def test_int_gcd_mode_negative_and_extreme():
+    import numpy as np
+    from lindorm_tsdb_contest_java_spark.functions.codecs import (
+        int_decode, int_encode,
+    )
+    # negative deltas divisible by a gcd
+    v = np.int64([0, -7000, 14000, 7000, -21000])
+    assert (int_decode(int_encode(v)) == v).all()
+    # int64-min delta present: gcd path must bow out, round-trip intact
+    v2 = np.int64([0, np.iinfo(np.int64).min, 0])
+    assert (int_decode(int_encode(v2)) == v2).all()
