@@ -193,15 +193,26 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, n_hashes: int = 16,
     ONE bucket, and collecting them into a single collect_list row (each
     member carrying its shingle-hash array) would OOM an executor before
     the O(k^2) pair explosion even starts. Buckets above `max_bucket`
-    members are therefore never collected: they are reduced to
-    STAR PAIRS against the bucket's min-id representative — O(k) pairs,
-    streamed, with dedup-grouping connectivity preserved (every member
-    links to the representative, so a transitive-closure keep/drop pass
-    sees the same clusters). Bucket size and representative come from
-    ONE window pass over the same (band, key) exchange the collect
-    reuses, and the window buffer spills to disk rather than OOM — no
-    path materializes a hot bucket in memory. The SQL oracle mirrors
-    the same cap, so the semantic is value-checked."""
+    members never collect their hash arrays: they are reduced to
+    STAR PAIRS against the bucket's min-id representative — O(k) pairs
+    with their jaccard computed PER ROW against the window-provided
+    rep hash set, so the only thing collected for a hot bucket is
+    (member id, jaccard) pairs (16 bytes each). Dedup-grouping
+    connectivity is preserved (every member links to the
+    representative, so a transitive-closure keep/drop pass sees the
+    same clusters).
+
+    Plan shape: the whole operator is ONE LINEAR pipeline — chain →
+    window (size/rep/rep-hs over the same (band, key) exchange the
+    collect reuses; the window buffer spills rather than OOM) → one
+    groupBy collecting small-bucket members and hot-bucket (id, j)
+    side by side → one explode of both pair kinds → id-only dedup.
+    No branch consumes the expensive signature chain twice (a
+    two-branch union form re-evaluated the ArrowEvalPython chain per
+    branch: AQE plans union children as independent stages and its
+    exchange reuse does not fire across them — measured 2x the chain
+    cost). The SQL oracle mirrors the same cap, so the semantic is
+    value-checked."""
     import hashlib as _hl
     from pyspark.sql.window import Window
     n_bands = n_hashes // band_size
@@ -233,49 +244,68 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, n_hashes: int = 16,
     # and no extra upstream evaluation.
     wo = (Window.partitionBy("band", "key").orderBy(id_col)
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-    sized = exploded.select(
+    hot_j = (F.size(F.array_intersect("hs", "_rep_hs"))
+             / F.size(F.array_union("hs", "_rep_hs")))
+    sized = (exploded.select(
         F.col(id_col), "hs", "band", "key",
         F.count("*").over(wo).alias("_n"),
         F.first(id_col).over(wo).alias("_rep"),
         F.first("hs").over(wo).alias("_rep_hs"))
-    buckets = (sized
-               .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
-               .groupBy("band", "key")
-               .agg(F.collect_list(F.struct(F.col(id_col).alias("id"),
-                                            F.col("hs").alias("hs"))).alias("m")))
+        # hot members verify against the rep HERE, per row — their hash
+        # arrays never enter an aggregation buffer
+        .withColumn("_hot_j", F.when(
+            (F.col("_n") > max_bucket) & (F.col(id_col) != F.col("_rep")),
+            hot_j)))
+    buckets = (sized.groupBy("band", "key").agg(
+        F.any_value("_rep").alias("rep"),
+        # when() without otherwise -> null for the other kind; collect_list
+        # skips nulls, so each bucket fills exactly one of the two arrays
+        F.collect_list(F.when(
+            F.col("_n") <= max_bucket,
+            F.struct(F.col(id_col).alias("id"), F.col("hs").alias("hs"))
+        )).alias("m"),
+        F.collect_list(F.when(
+            F.col("_hot_j").isNotNull(),
+            F.struct(F.col(id_col).alias("id"), F.col("_hot_j").alias("j"))
+        )).alias("hot")))
     n = F.size("m")
-    pair_structs = F.flatten(F.transform(
+
+    def unify(x, y):
+        lo = F.when(x["id"] < y["id"], x).otherwise(y)
+        hi = F.when(x["id"] < y["id"], y).otherwise(x)
+        return F.struct(lo["id"].alias("id_a"), hi["id"].alias("id_b"),
+                        lo["hs"].alias("hs_a"), hi["hs"].alias("hs_b"),
+                        F.lit(None).cast("double").alias("j"))
+
+    small_pairs = F.flatten(F.transform(
         F.sequence(F.lit(0), n - 2),
         lambda i: F.transform(
             F.sequence(i + 1, n - 1),
-            lambda j: F.struct(
-                F.element_at("m", (i + 1).cast("int")).alias("x"),
-                F.element_at("m", (j + 1).cast("int")).alias("y")))))
-    cand = (buckets.select(F.explode(pair_structs).alias("p"))
-            .select(F.when(F.col("p.x.id") < F.col("p.y.id"), F.col("p.x"))
-                     .otherwise(F.col("p.y")).alias("a"),
-                    F.when(F.col("p.x.id") < F.col("p.y.id"), F.col("p.y"))
-                     .otherwise(F.col("p.x")).alias("b"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.col("a.hs").alias("hs_a"), F.col("b.hs").alias("hs_b")))
-    # hot buckets: O(k) star pairs against the min-id representative,
-    # streamed straight off the window output (rep = first-by-id, so
-    # id_a < id_b holds by construction)
-    cand_hot = (sized
-                .filter((F.col("_n") > max_bucket)
-                        & (F.col(id_col) != F.col("_rep")))
-                .select(F.col("_rep").alias("id_a"),
-                        F.col(id_col).alias("id_b"),
-                        F.col("_rep_hs").alias("hs_a"),
-                        F.col("hs").alias("hs_b")))
-    cand = cand.unionByName(cand_hot)
-    # dedup on ids ONLY (arrays ride as any_value payload, never shuffle keys)
+            lambda j: unify(F.element_at("m", (i + 1).cast("int")),
+                            F.element_at("m", (j + 1).cast("int"))))))
+    null_hs = F.lit(None).cast("array<bigint>")
+    hot_pairs = F.transform(
+        "hot",
+        lambda h: F.struct(F.col("rep").alias("id_a"), h["id"].alias("id_b"),
+                           null_hs.alias("hs_a"), null_hs.alias("hs_b"),
+                           h["j"].alias("j")))
+    # sequence(0, n-2) is DESCENDING for n < 2: guard with an empty array
+    # of the unified type (slice of the always-typed hot array)
+    all_pairs = F.concat(
+        F.when(n >= 2, small_pairs).otherwise(F.slice(hot_pairs, 1, 0)),
+        hot_pairs)
+    cand = (buckets.select(F.explode(all_pairs).alias("p")).select("p.*"))
+    # dedup on ids ONLY (arrays ride as payload, never shuffle keys);
+    # ignorenulls: a pair can surface as a small-bucket pair in one band
+    # and a hot star pair in another — take whichever occurrence carries
+    # the payload (values are identical across occurrences)
     pairs = (cand.groupBy("id_a", "id_b")
-             .agg(F.any_value("hs_a").alias("hs_a"),
-                  F.any_value("hs_b").alias("hs_b")))
+             .agg(F.first("hs_a", ignorenulls=True).alias("hs_a"),
+                  F.first("hs_b", ignorenulls=True).alias("hs_b"),
+                  F.first("j", ignorenulls=True).alias("j")))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     union = F.size(F.array_union("hs_a", "hs_b"))
-    return (pairs.withColumn("jaccard", inter / union)
+    return (pairs.withColumn("jaccard", F.coalesce(F.col("j"), inter / union))
             .select("id_a", "id_b", "jaccard"))
 
 

@@ -26,6 +26,14 @@ def get_spark(
     # 12g measured fastest & most stable for the bench workloads — larger
     # heaps (24g/48g) gave erratic multi-second G1 pauses on this box
     driver_mem = os.environ.get("SPARK_DRIVER_MEM", "12g")
+    extra_java = f"-Xms{driver_mem}"
+    # co-tenant mode (tools/multiproc_scaling.py): without this, every
+    # JVM sizes its GC/compiler/shuffle thread pools for ALL host CPUs —
+    # 8 co-scheduled 4-core JVMs each spawning ~23 parallel GC threads
+    # oversubscribe the box ~6x and collapse throughput
+    apc = os.environ.get("SPARK_ACTIVE_PROCESSOR_COUNT")
+    if apc:
+        extra_java += f" -XX:ActiveProcessorCount={apc}"
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
@@ -34,7 +42,7 @@ def get_spark(
         .config("spark.driver.memory", driver_mem)
         # -Xms == -Xmx: heap growth during the first big job showed up as
         # multi-second GC stalls in single-shot timings
-        .config("spark.driver.extraJavaOptions", f"-Xms{driver_mem}")
+        .config("spark.driver.extraJavaOptions", extra_java)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

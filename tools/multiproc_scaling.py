@@ -83,10 +83,16 @@ def _run_level(k: int, files: list[str], turns: int, scratch: str) -> dict:
             json.dump(cfg, f)
         ready = os.path.join(scratch, f"READY-{i}")
         readies.append(ready)
+        # fixed per-process heap at BOTH levels (a real cluster node has
+        # fixed memory; the session default 12g x 8 procs would pre-commit
+        # 96 GB of -Xms on this 125 GB box and thrash)
+        env = dict(os.environ,
+                   SPARK_DRIVER_MEM=os.environ.get("MP_DRIVER_MEM", "4g"),
+                   SPARK_ACTIVE_PROCESSOR_COUNT=str(CORES_PER_PROC))
         procs.append(subprocess.Popen(
             [sys.executable, __file__, "--worker", cf, ready, go],
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
-            cwd=REPO))
+            cwd=REPO, env=env))
     while not all(os.path.exists(r) for r in readies):
         time.sleep(0.1)
     open(go, "w").write("go")
