@@ -276,6 +276,12 @@ def _encode_group_arrow(tbl: pa.Table,
             if b - last >= target_rows:
                 starts.append(int(b))
                 last = int(b)
+        # a small final tail (every group slightly above target produces
+        # one) would become an undersized segment — per-segment fixed
+        # cost and compression both degrade below ~target/2 rows, so
+        # merge it into its predecessor instead
+        if len(starts) > 1 and n - starts[-1] < target_rows // 2:
+            starts.pop()
     rows = [_encode_slice(tbl.slice(s, e - s))
             for s, e in zip(starts, starts[1:] + [n])]
     return pa.table({f.name: [r[f.name] for r in rows]

@@ -105,22 +105,43 @@ def test_bucket_routing_is_stable(canonical):
             .agg(F.countDistinct("conv_bucket").alias("n")).filter("n > 1").count()) == 0
 
 
-def test_conv_subsplit_roundtrip_and_zone_maps(spark, canonical):
-    """Conv-range sub-segments (r03 verdict ask #1): a tiny target forces
-    every sizable group to split at conversation boundaries. The
-    round-trip stays exact, conversations are never split within a
-    group, and sibling sub-segments carry non-overlapping ordered conv
-    ranges — the zone map single-conv reads prune on."""
-    segs = encode_segments(canonical, segment_rows=64).cache()
+def _multi_conv_df(spark):
+    """200 equal-size conversations in one time chunk: every (bucket,
+    chunk) group holds ~25 conversations of 20 turns — guaranteed
+    conv-boundary splits at segment_rows=64."""
+    import pandas as pd
+    rows = []
+    base = 1_704_067_200
+    for c in range(200):
+        for t in range(20):
+            rows.append((f"mc-{c:04d}", t, "user", f"text {c} {t}", "-",
+                         pd.Timestamp((base + c * 7 + t * 13) * 10**9)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                      "text", "tool", "ts"])
+    return canonicalize(spark.createDataFrame(pdf), n_buckets=8)
+
+
+def test_conv_subsplit_roundtrip_and_zone_maps(spark):
+    """Conv-range sub-segments (r03 verdict ask #1): groups of many
+    conversations split at conversation boundaries. The round-trip stays
+    exact, conversations are never split within a group, and sibling
+    sub-segments carry non-overlapping ordered conv ranges — the zone
+    map single-conv reads prune on. (A group dominated by ONE hot
+    conversation stays whole by design — the max_rows_per_conv turn salt
+    is the valve for those.)"""
+    canon = _multi_conv_df(spark).cache()
+    segs = encode_segments(canon, segment_rows=64).cache()
     per_group = segs.groupBy("conv_bucket", "time_chunk") \
                     .agg(F.count("*").alias("n_segs"))
     assert per_group.filter("n_segs > 1").count() > 0, \
         "fixture must actually exercise the sub-split"
+    # every sub-segment respects the target band: >= segment_rows/2
+    assert segs.filter("n_rows < 32").count() == 0
     # conversations never split within a group: summing per-sub-segment
     # distinct-conv counts equals the group's distinct convs
     got_convs = segs.groupBy("conv_bucket", "time_chunk") \
                     .agg(F.sum("n_convs").alias("n")).toPandas()
-    exp_convs = canonical.groupBy("conv_bucket", "time_chunk") \
+    exp_convs = canon.groupBy("conv_bucket", "time_chunk") \
         .agg(F.countDistinct("conv_id").alias("n")).toPandas()
     key = ["conv_bucket", "time_chunk"]
     merged = got_convs.merge(exp_convs, on=key, suffixes=("_got", "_exp"))
@@ -133,18 +154,19 @@ def test_conv_subsplit_roundtrip_and_zone_maps(spark, canonical):
         prev_max = g["conv_id_max"].shift(1)
         ok = prev_max.isna() | (g["conv_id_min"] > prev_max)
         assert ok.all(), g
-    # round-trip identical to the unsplit encode
+    # round-trip identical to the source
     cols = ["conv_id", "turn_idx", "text", "ts_us", "latency_s"]
-    src = _sorted_pdf(canonical, cols)
+    src = _sorted_pdf(canon, cols)
     got = _sorted_pdf(decode_segments(segs, cols), cols)
     assert (got["text"].to_numpy() == src["text"].to_numpy()).all()
     assert (got["ts_us"].to_numpy() == src["ts_us"].to_numpy()).all()
     assert (got["latency_s"].to_numpy().view(np.uint64)
             == src["latency_s"].to_numpy().view(np.uint64)).all()
     segs.unpersist()
+    canon.unpersist()
 
 
-def test_single_conv_read_decodes_only_matching_subsegments(spark, canonical, tmp_path):
+def test_single_conv_read_decodes_only_matching_subsegments(spark, tmp_path):
     """The committed single-conv read path must decode ∝ one
     conversation's sub-segments, not the bucket's whole share of the
     range (the r03 'scale-killer' finding): with conv zone pruning the
@@ -153,13 +175,14 @@ def test_single_conv_read_decodes_only_matching_subsegments(spark, canonical, tm
     from lindorm_tsdb_contest_java_spark.sources.segments import (
         time_range_from_segments,
     )
+    canon = _multi_conv_df(spark).cache()
     path = str(tmp_path / "segs_split")
-    encode_segments(canonical, segment_rows=64).write.parquet(path)
+    encode_segments(canon, segment_rows=64).write.parquet(path)
     seg = spark.read.parquet(path)
     total = seg.agg(F.sum("n_rows")).collect()[0][0]
-    conv = "conv-00000001"
-    bucket = canonical.filter(F.col("conv_id") == conv) \
-                      .select("conv_bucket").first()["conv_bucket"]
+    conv = "mc-0017"
+    bucket = canon.filter(F.col("conv_id") == conv) \
+                  .select("conv_bucket").first()["conv_bucket"]
     bucket_rows = seg.filter(F.col("conv_bucket") == bucket) \
                      .agg(F.sum("n_rows")).collect()[0][0]
     pruned_rows = seg.filter(
@@ -171,6 +194,7 @@ def test_single_conv_read_decodes_only_matching_subsegments(spark, canonical, tm
     assert pruned_rows <= bucket_rows / 2, (pruned_rows, bucket_rows)
     got = time_range_from_segments(
         seg, conv, 0, 2 * 10**12, ["conv_id", "turn_idx", "ts_us"], n_buckets=8)
-    exp = canonical.filter(F.col("conv_id") == conv) \
-                   .select("conv_id", "turn_idx", "ts_us")
+    exp = canon.filter(F.col("conv_id") == conv) \
+               .select("conv_id", "turn_idx", "ts_us")
     assert sorted(map(str, got.collect())) == sorted(map(str, exp.collect()))
+    canon.unpersist()
