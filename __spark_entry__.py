@@ -43,7 +43,7 @@ from lindorm_tsdb_contest_java_spark.sources.events_adapter import (
     events_canonical, events_to_transcripts,
 )
 from lindorm_tsdb_contest_java_spark.sources.segments import (
-    canonicalize, decode_segments, encode_segments,
+    canonicalize, decode_segments, encode_segments, time_range_from_segments,
 )
 
 CONV = "12"
@@ -112,6 +112,21 @@ def _q_time_range(spark, sf_dir):
     canon = events_canonical(spark, sf_dir)
     out = Q.time_range(canon, CONV, JAN1_MS + 4 * 86_400_000, JAN1_MS + 14 * 86_400_000,
                        ["conv_id", "turn_idx", "text", "ts_us"])
+    return out.withColumn("turn_idx", F.col("turn_idx").cast("long"))
+
+
+def _q_time_range_committed(spark, sf_dir):
+    """Same half-open range scan as time_range_scan, but served from the
+    COMPRESSED segment store through the full committed read path:
+    constant-folded bucket routing + conv-id/time zone-map pruning
+    (sources/segments.py time_range_from_segments — the r03 locality
+    work) + projected lazy decode. Value-hash equality against the plain
+    SQL oracle gates that the pruned path loses no rows."""
+    canon = canonicalize(events_canonical(spark, sf_dir), n_buckets=8, dedup=False)
+    segs = encode_segments(canon)
+    out = time_range_from_segments(
+        segs, CONV, JAN1_MS + 4 * 86_400_000, JAN1_MS + 14 * 86_400_000,
+        ["conv_id", "turn_idx", "text", "ts_us"], n_buckets=8)
     return out.withColumn("turn_idx", F.col("turn_idx").cast("long"))
 
 
@@ -548,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_per_conv": _q_latest,
         "point_lookup_latest": _q_point_lookup_latest,
         "time_range_scan": _q_time_range,
+        "time_range_committed": _q_time_range_committed,
         "agg_avg_int": _agg("text_len", "AVG"),
         "agg_max_int": _agg("text_len", "MAX"),
         "agg_avg_double": _agg("latency_us", "AVG", scale=1e6),
@@ -627,6 +643,14 @@ FROM canonical WHERE conv_id IN ('{CONV}', '37', 'no-such-conv')
 QUALIFY ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts_us DESC) = 1
 """,
         "time_range_scan": C + f"""
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text, ts_us
+FROM canonical
+WHERE conv_id = '{CONV}' AND ts_us >= {(JAN1_MS + 4 * 86_400_000) * 1000}
+  AND ts_us < {(JAN1_MS + 14 * 86_400_000) * 1000}
+""",
+        # the committed (segment-store) path answers the SAME question —
+        # pruning/decode must be invisible in the result
+        "time_range_committed": C + f"""
 SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text, ts_us
 FROM canonical
 WHERE conv_id = '{CONV}' AND ts_us >= {(JAN1_MS + 4 * 86_400_000) * 1000}

@@ -119,14 +119,15 @@ def main():
     n_chunks = 30
     n_buckets = max(8, min(1024, n_turns // (n_chunks * 4000)))
 
-    # JIT warmup: push a slice of the data through the exact encode plan
-    # (windows, python groups, parquet write) so the timed run measures the
-    # engine, not HotSpot compilation (~30s constant per fresh JVM)
-    warm = canonicalize(raw.filter(F.dayofmonth("ts") <= 4),
-                        n_buckets=n_buckets, chunk_us=chunk_us)
+    # JIT warmup: one FULL untimed pass of the exact encode job (windows,
+    # python groups, parquet write) so the timed runs measure the engine,
+    # not HotSpot compilation or cold page cache. A 4-day slice warmup
+    # left the first timed run 2-4x slower than steady state (measured
+    # 54s -> 22s -> 8.5s -> 8.0s on a cold JVM): C2 needs the full-size
+    # shuffle/window loops hot, and best-of-3 then starts from run 2's
+    # still-warming figure. Warmup time is NOT in any recorded number.
+    warm = canonicalize(raw, n_buckets=n_buckets, chunk_us=chunk_us)
     encode_segments(warm).write.mode("overwrite").parquet(seg_path)
-    raw.agg(F.sum(F.length("text"))).collect()  # full scan: page-cache warm
-    # (count() alone reads only parquet footers)
 
     def _rollup_encode():
         with timed("rollup_encode"):

@@ -36,7 +36,11 @@ sequential fallback reader for foreign streams).
 #      ts-derived with first-of-run exceptions)
 #  v7: int codec gains GCD-divided delta/dod modes (LongCompress.java's
 #      seconds-granularity trick generalized to any common factor)
-CODEC_VERSION = 7
+#  v8: blob_text gains ext-length modes: framing derives from the
+#      text_len column — data-only for pure-ASCII blocks, else varint
+#      (byte_len - char_len) continuation-byte deltas — so the per-row
+#      lengths are stored once per segment instead of twice
+CODEC_VERSION = 8
 
 from .varint import (
     zigzag_encode, zigzag_decode, varint_encode, varint_decode, varint_size,

@@ -26,6 +26,18 @@ from .varint import varint_decode, varint_encode
 _HDR = struct.Struct("<BQ")  # mode, n
 _MODE_RAW = 0
 _MODE_DICT = 1
+# data-only stream: the per-row byte lengths are NOT in the blob — they
+# equal the segment's text_len column (true whenever the text is pure
+# ASCII, where char length == UTF-8 byte length), so the segment stores
+# them exactly once. decode requires the externally-supplied lengths.
+_MODE_EXTLEN = 2
+# general variant: the blob stores only (byte_len - ext_len) varint
+# deltas — the UTF-8 continuation-byte counts when ext is the char
+# length, i.e. small and mostly zero — and decode reframes the stream as
+# cumsum(ext + delta). Exact for ANY text (deltas >= 0 guard only).
+_MODE_EXTLEN_DELTA = 3
+TEXT_MODE_EXTLEN = _MODE_EXTLEN
+TEXT_MODE_EXTLEN_DELTA = _MODE_EXTLEN_DELTA
 
 
 def _encode_dict_codes(codes: np.ndarray, n_uniq: int) -> tuple[bytes, int]:
@@ -75,9 +87,27 @@ def _utf8_lengths_and_data(values) -> tuple[np.ndarray, bytes]:
     return lengths, data
 
 
-def text_encode(values, level: int = 3) -> bytes:
-    """Arbitrary strings -> <mode=0,n> + zstd(varint lengths || utf8 concat)."""
+def text_encode(values, level: int = 3, ext_lengths=None) -> bytes:
+    """Arbitrary strings -> <mode=0,n> + zstd(varint lengths || utf8 concat).
+
+    When `ext_lengths` (the segment's text_len column values) is given
+    and PROVEN equal to the actual UTF-8 byte lengths (pure-ASCII text),
+    emit the data-only _MODE_EXTLEN stream instead — the lengths already
+    live in blob_text_len, so storing them again inside the text blob is
+    pure redundancy (~1 B/turn on the bench corpus). Any non-ASCII block
+    fails the equality proof and falls back to the self-contained mode
+    unchanged (the latency-codec verified-derivation pattern)."""
     lengths, data = _utf8_lengths_and_data(values)
+    if ext_lengths is not None:
+        ext = np.asarray(ext_lengths, dtype=np.int64)
+        if np.array_equal(lengths, ext):
+            return (_HDR.pack(_MODE_EXTLEN, len(lengths))
+                    + zstd_compress(data, level))
+        if len(ext) == len(lengths) and (lengths >= ext).all():
+            deltas = (lengths - ext).astype(np.uint64)
+            payload = pack_sections(varint_encode(deltas), data)
+            return (_HDR.pack(_MODE_EXTLEN_DELTA, len(lengths))
+                    + zstd_compress(payload, level))
     payload = pack_sections(varint_encode(lengths.astype(np.uint64)), data)
     return _HDR.pack(_MODE_RAW, len(lengths)) + zstd_compress(payload, level)
 
@@ -93,8 +123,10 @@ def _text_decode_body(n: int, payload: bytes) -> np.ndarray:
     return arr.to_numpy(zero_copy_only=False)
 
 
-def text_decode(blob: bytes) -> np.ndarray:
+def text_decode(blob: bytes, lengths=None) -> np.ndarray:
     mode, n = _HDR.unpack_from(blob, 0)
+    if mode in (_MODE_EXTLEN, _MODE_EXTLEN_DELTA):
+        return text_decode_arrow(blob, lengths).to_numpy(zero_copy_only=False)
     if mode != _MODE_RAW:
         raise ValueError(f"not a text stream (mode {mode})")
     if n == 0:
@@ -111,9 +143,34 @@ def _text_decode_arrow_body(n: int, payload: bytes) -> pa.Array:
         n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data))
 
 
-def text_decode_arrow(blob: bytes) -> pa.Array:
-    """Arrow-native decode: bytes land directly in a StringArray buffer."""
+def text_decode_arrow(blob: bytes, lengths=None) -> pa.Array:
+    """Arrow-native decode: bytes land directly in a StringArray buffer.
+
+    _MODE_EXTLEN blobs carry no lengths section — pass the segment's
+    decoded text_len values as `lengths` (sources/segments.py does)."""
     mode, n = _HDR.unpack_from(blob, 0)
+    if mode in (_MODE_EXTLEN, _MODE_EXTLEN_DELTA):
+        if lengths is None:
+            raise ValueError(
+                "ext-length text blob needs the text_len column values "
+                "(decode blob_text_len and pass it as lengths=)")
+        if n == 0:
+            return pa.array([], type=pa.string())
+        payload = zstd_decompress(blob[_HDR.size :])
+        lens = np.asarray(lengths, dtype=np.int64)
+        if mode == _MODE_EXTLEN_DELTA:
+            deltas_b, data = unpack_sections(payload, 2)
+            lens = lens + varint_decode(deltas_b, n).astype(np.int64)
+        else:
+            data = payload
+        if len(lens) != n or int(lens.sum()) != len(data):
+            raise ValueError(
+                f"text_len values (n={len(lens)}, sum={int(lens.sum())}) "
+                f"do not frame the text stream (n={n}, {len(data)} bytes)")
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(lens.astype(np.int32), out=offsets[1:])
+        return pa.StringArray.from_buffers(
+            n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data))
     if mode != _MODE_RAW:
         raise ValueError(f"not a text stream (mode {mode})")
     if n == 0:

@@ -43,7 +43,10 @@ from ..functions.codecs import (
     dict_decode, dict_encode, int_decode, int_encode,
     latency_decode, latency_encode, text_decode, text_encode,
 )
-from ..functions.codecs.strings import dict_decode_arrow, text_decode_arrow
+from ..functions.codecs.strings import (
+    TEXT_MODE_EXTLEN, TEXT_MODE_EXTLEN_DELTA, dict_decode_arrow,
+    text_decode_arrow,
+)
 
 DEFAULT_N_BUCKETS = 64
 DEFAULT_CHUNK_US = 6 * 3600 * 1_000_000  # 6h time chunks
@@ -227,7 +230,10 @@ def _encode_slice(tbl: pa.Table) -> dict:
         "blob_conv_id": dict_encode(conv_arr),
         "blob_role": dict_encode(tbl.column("role").combine_chunks()),
         "blob_tool": dict_encode(tbl.column("tool").combine_chunks()),
-        "blob_text": text_encode(tbl.column("text").combine_chunks()),
+        # ext_lengths: pure-ASCII blocks (byte len == text_len char len)
+        # store the lengths ONLY in blob_text_len; proven per block
+        "blob_text": text_encode(tbl.column("text").combine_chunks(),
+                                 ext_lengths=tlen),
     }
     return {
         "conv_bucket": int(tbl.column("conv_bucket")[0].as_py()),
@@ -363,6 +369,9 @@ def decode_segments(segments: DataFrame, columns: list[str] | None = None) -> Da
     if "latency_s" in columns:
         # the latency codec's derived mode reconstructs from ts deltas
         needed_blobs.add("blob_ts")
+    if "text" in columns:
+        # ext-length text blobs frame their stream with the text_len ints
+        needed_blobs.add("blob_text_len")
     needed_blobs = sorted(needed_blobs)
     scan_cols = ["conv_bucket", "time_chunk", "n_rows", *needed_blobs]
     pa_fields = {
@@ -382,12 +391,19 @@ def decode_segments(segments: DataFrame, columns: list[str] | None = None) -> Da
                 arrs = []
                 n = d["n_rows"][seg].as_py()
                 ts_memo = None  # decode the ts blob at most once per segment
+                tlen_memo = None  # likewise text_len (text framing + column)
 
                 def ts_arr():
                     nonlocal ts_memo
                     if ts_memo is None:
                         ts_memo = int_decode(d["blob_ts"][seg].as_py())
                     return ts_memo
+
+                def tlen_arr():
+                    nonlocal tlen_memo
+                    if tlen_memo is None:
+                        tlen_memo = int_decode(d["blob_text_len"][seg].as_py())
+                    return tlen_memo
 
                 for c in columns:
                     if c == "conv_bucket":
@@ -399,7 +415,7 @@ def decode_segments(segments: DataFrame, columns: list[str] | None = None) -> Da
                     elif c == "ts_us":
                         arrs.append(pa.array(ts_arr()))
                     elif c == "text_len":
-                        arrs.append(pa.array(int_decode(d[_BLOB_OF[c]][seg].as_py())))
+                        arrs.append(pa.array(tlen_arr()))
                     elif c == "turn_idx":
                         arrs.append(pa.array(
                             int_decode(d["blob_turn_idx"][seg].as_py()).astype(np.int32)))
@@ -407,7 +423,11 @@ def decode_segments(segments: DataFrame, columns: list[str] | None = None) -> Da
                         arrs.append(pa.array(latency_decode(
                             d["blob_latency"][seg].as_py(), ts_arr())))
                     elif c == "text":
-                        arrs.append(text_decode_arrow(d["blob_text"][seg].as_py()))
+                        blob = d["blob_text"][seg].as_py()
+                        ext = bool(blob) and blob[0] in (
+                            TEXT_MODE_EXTLEN, TEXT_MODE_EXTLEN_DELTA)
+                        arrs.append(text_decode_arrow(
+                            blob, lengths=tlen_arr() if ext else None))
                     else:  # conv_id, role, tool
                         arrs.append(dict_decode_arrow(d[_BLOB_OF[c]][seg].as_py()))
                 yield pa.RecordBatch.from_arrays(arrs, schema=out_pa_schema)

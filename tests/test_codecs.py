@@ -449,3 +449,67 @@ def test_int_gcd_mode_negative_and_extreme():
     # int64-min delta present: gcd path must bow out, round-trip intact
     v2 = np.int64([0, np.iinfo(np.int64).min, 0])
     assert (int_decode(int_encode(v2)) == v2).all()
+
+
+# ---- ext-length text mode (wire v8) ----
+
+def test_text_extlen_mode_on_ascii():
+    from lindorm_tsdb_contest_java_spark.functions.codecs.strings import (
+        TEXT_MODE_EXTLEN, text_decode_arrow, text_encode,
+    )
+    vals = ["hello", "", "world " * 40, "x"]
+    lens = np.array([len(v.encode()) for v in vals], dtype=np.int64)
+    blob = text_encode(vals, ext_lengths=lens)
+    assert blob[0] == TEXT_MODE_EXTLEN
+    out = text_decode_arrow(blob, lengths=lens).to_pylist()
+    assert out == vals
+    # the self-contained stream embeds the lengths a second time
+    assert len(blob) < len(text_encode(vals))
+
+
+def test_text_extlen_non_ascii_takes_delta_mode():
+    from lindorm_tsdb_contest_java_spark.functions.codecs.strings import (
+        TEXT_MODE_EXTLEN, TEXT_MODE_EXTLEN_DELTA, text_decode_arrow,
+        text_encode,
+    )
+    vals = ["héllo", "naïve"]  # char length != UTF-8 byte length
+    char_lens = np.array([len(v) for v in vals], dtype=np.int64)
+    blob = text_encode(vals, ext_lengths=char_lens)
+    assert blob[0] == TEXT_MODE_EXTLEN_DELTA  # ASCII proof failed
+    assert text_decode_arrow(blob, lengths=char_lens).to_pylist() == vals
+    # lengths larger than the byte lengths (not char lengths at all):
+    # self-contained fallback, decodable without external framing
+    blob2 = text_encode(vals, ext_lengths=char_lens + 10)
+    assert blob2[0] not in (TEXT_MODE_EXTLEN, TEXT_MODE_EXTLEN_DELTA)
+    assert text_decode_arrow(blob2).to_pylist() == vals
+
+
+def test_text_extlen_decode_requires_matching_lengths():
+    import pytest
+    from lindorm_tsdb_contest_java_spark.functions.codecs.strings import (
+        text_decode_arrow, text_encode,
+    )
+    vals = ["abc", "defg"]
+    lens = np.array([3, 4], dtype=np.int64)
+    blob = text_encode(vals, ext_lengths=lens)
+    with pytest.raises(ValueError, match="text_len"):
+        text_decode_arrow(blob)
+    with pytest.raises(ValueError, match="frame"):
+        text_decode_arrow(blob, lengths=np.array([4, 3], dtype=np.int64)[:1])
+    assert text_decode_arrow(blob, lengths=lens).to_pylist() == vals
+
+
+def test_text_extlen_delta_mode_non_ascii():
+    from lindorm_tsdb_contest_java_spark.functions.codecs.strings import (
+        TEXT_MODE_EXTLEN_DELTA, text_decode, text_decode_arrow, text_encode,
+    )
+    vals = ["héllo", "日本語", "plain", "", "emoji🙂 mix"]
+    char_lens = np.array([len(v) for v in vals], dtype=np.int64)
+    blob = text_encode(vals, ext_lengths=char_lens)
+    assert blob[0] == TEXT_MODE_EXTLEN_DELTA
+    assert text_decode_arrow(blob, lengths=char_lens).to_pylist() == vals
+    assert list(text_decode(blob, lengths=char_lens)) == vals
+    # wrong framing lengths must fail loudly, not mis-slice
+    import pytest
+    with pytest.raises(ValueError, match="frame"):
+        text_decode_arrow(blob, lengths=char_lens + 1)

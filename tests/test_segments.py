@@ -198,3 +198,48 @@ def test_single_conv_read_decodes_only_matching_subsegments(spark, tmp_path):
                .select("conv_id", "turn_idx", "ts_us")
     assert sorted(map(str, got.collect())) == sorted(map(str, exp.collect()))
     canon.unpersist()
+
+
+def test_non_ascii_text_roundtrip(spark):
+    """The v8 ext-length text mode stores byte lengths only in
+    blob_text_len when the block is pure ASCII; non-ASCII blocks must
+    fail the proof and round-trip through the self-contained mode."""
+    import pandas as pd
+    rows = []
+    base = 1_704_067_200
+    texts = ["héllo wörld", "naïve — em-dash", "日本語テキスト", "plain ascii", ""]
+    for c in range(4):
+        for t, txt in enumerate(texts):
+            rows.append((f"ua-{c:02d}", t, "user", txt, "-",
+                         pd.Timestamp((base + c * 7 + t * 13) * 10**9)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                      "text", "tool", "ts"])
+    canon = canonicalize(spark.createDataFrame(pdf), n_buckets=4)
+    segs = encode_segments(canon).cache()
+    from lindorm_tsdb_contest_java_spark.functions.codecs.strings import (
+        TEXT_MODE_EXTLEN,
+    )
+    from lindorm_tsdb_contest_java_spark.functions.codecs.strings import (
+        TEXT_MODE_EXTLEN_DELTA,
+    )
+    modes = [r[0][0] for r in segs.select("blob_text").collect()]
+    assert all(m != TEXT_MODE_EXTLEN for m in modes), \
+        "non-ASCII blocks must not use the data-only ASCII mode"
+    assert any(m == TEXT_MODE_EXTLEN_DELTA for m in modes), \
+        "non-ASCII blocks with true char lengths use the delta mode"
+    cols = ["conv_id", "turn_idx", "ts_us", "text", "text_len"]
+    got = _sorted_pdf(decode_segments(segs, cols), cols)
+    want = _sorted_pdf(canon, cols)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_text_blobs_use_ext_length_modes(segments):
+    """Every segment encoded from a canonical frame (where text_len IS
+    the char length) must hit one of the v8 ext-length modes — the
+    lengths live only in blob_text_len."""
+    from lindorm_tsdb_contest_java_spark.functions.codecs.strings import (
+        TEXT_MODE_EXTLEN, TEXT_MODE_EXTLEN_DELTA,
+    )
+    modes = [r[0][0] for r in segments.select("blob_text").collect()]
+    assert modes and all(
+        m in (TEXT_MODE_EXTLEN, TEXT_MODE_EXTLEN_DELTA) for m in modes)
