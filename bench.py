@@ -77,7 +77,10 @@ def main():
     n_turns_target = int(os.environ.get("BENCH_TURNS", "4000000"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    # 4 repeats: identical runs on this box swing up to 2x (co-tenant
+    # noise); best-of-4 after the full warmup tracks the uncontended
+    # floor much more tightly than best-of-3 did
+    repeats = int(os.environ.get("BENCH_REPEATS", "4"))
     tpath = bench_table(n_turns_target)
     spark = get_spark("bench", parallelism=cpus)
     timings: dict[str, float] = {}
