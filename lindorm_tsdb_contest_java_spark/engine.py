@@ -67,7 +67,9 @@ _TIER_COLUMNS = ("text_len", "latency_s")  # tier-accelerated metrics
 
 
 class TranscriptTSDB:
-    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16):
+    def __init__(self, spark: SparkSession, root: str,
+                 n_buckets: int | None = None,
+                 chunk_us: int | None = None):
         self.spark = spark
         # unix_micros over an NTZ timestamp is session-timezone-sensitive
         # and the engine does chunk arithmetic on it BEFORE the first
@@ -76,16 +78,20 @@ class TranscriptTSDB:
         # near chunk boundaries could disagree with the pipeline's
         self.spark.conf.set("spark.sql.session.timeZone", "UTC")
         self.root = root
-        self.n_buckets = n_buckets
         self._buffer: list[DataFrame] = []
         self._canon_cache: DataFrame | None = None
         self._tier_cache: DataFrame | None = None
         os.makedirs(root, exist_ok=True)
         self._raw = SnapshotTable.create(os.path.join(root, "raw"))
         # the pipeline owns the committed stores (segments + tier cascade +
-        # checkpoint + lineage); the engine's flush IS a pipeline run
+        # checkpoint + lineage); the engine's flush IS a pipeline run.
+        # n_buckets/chunk_us left at None adopt the store's stamped
+        # values (store_config.json — reopening with a different routing
+        # would silently miss rows); explicit conflicts raise there.
         self._pipeline = RollupPipeline(spark, root, n_buckets=n_buckets,
+                                        chunk_us=chunk_us,
                                         tiers={"1h": HOUR_MS, "1d": DAY_MS})
+        self.n_buckets = self._pipeline.n_buckets
         self._segments = self._pipeline.table("segments")
         self._tier_1m = self._pipeline.table("tier_conv_1m")
         self._tier_latest = self._pipeline.table("tier_latest")

@@ -271,11 +271,19 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, n_hashes: int = 16,
     n = F.size("m")
 
     def unify(x, y):
+        # verification jaccard computed AT EMISSION, inside the bucket:
+        # the downstream id-dedup exchange then carries 24-byte
+        # (id_a, id_b, j) rows instead of two full shingle-hash arrays
+        # per candidate — at 10^9 docs that is the difference between a
+        # KB-scale and a B-scale shuffle record. A pair colliding in k
+        # bands evaluates jaccard k (<= n_bands) times instead of once;
+        # near-dup pairs collide in few bands, and the arrays are
+        # already in memory here either way.
         lo = F.when(x["id"] < y["id"], x).otherwise(y)
         hi = F.when(x["id"] < y["id"], y).otherwise(x)
         return F.struct(lo["id"].alias("id_a"), hi["id"].alias("id_b"),
-                        lo["hs"].alias("hs_a"), hi["hs"].alias("hs_b"),
-                        F.lit(None).cast("double").alias("j"))
+                        (F.size(F.array_intersect(x["hs"], y["hs"]))
+                         / F.size(F.array_union(x["hs"], y["hs"]))).alias("j"))
 
     small_pairs = F.flatten(F.transform(
         F.sequence(F.lit(0), n - 2),
@@ -283,11 +291,9 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, n_hashes: int = 16,
             F.sequence(i + 1, n - 1),
             lambda j: unify(F.element_at("m", (i + 1).cast("int")),
                             F.element_at("m", (j + 1).cast("int"))))))
-    null_hs = F.lit(None).cast("array<bigint>")
     hot_pairs = F.transform(
         "hot",
         lambda h: F.struct(F.col("rep").alias("id_a"), h["id"].alias("id_b"),
-                           null_hs.alias("hs_a"), null_hs.alias("hs_b"),
                            h["j"].alias("j")))
     # sequence(0, n-2) is DESCENDING for n < 2: guard with an empty array
     # of the unified type (slice of the always-typed hot array)
@@ -295,18 +301,11 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, n_hashes: int = 16,
         F.when(n >= 2, small_pairs).otherwise(F.slice(hot_pairs, 1, 0)),
         hot_pairs)
     cand = (buckets.select(F.explode(all_pairs).alias("p")).select("p.*"))
-    # dedup on ids ONLY (arrays ride as payload, never shuffle keys);
-    # ignorenulls: a pair can surface as a small-bucket pair in one band
-    # and a hot star pair in another — take whichever occurrence carries
-    # the payload (values are identical across occurrences)
-    pairs = (cand.groupBy("id_a", "id_b")
-             .agg(F.first("hs_a", ignorenulls=True).alias("hs_a"),
-                  F.first("hs_b", ignorenulls=True).alias("hs_b"),
-                  F.first("j", ignorenulls=True).alias("j")))
-    inter = F.size(F.array_intersect("hs_a", "hs_b"))
-    union = F.size(F.array_union("hs_a", "hs_b"))
-    return (pairs.withColumn("jaccard", F.coalesce(F.col("j"), inter / union))
-            .select("id_a", "id_b", "jaccard"))
+    # dedup on ids only; every occurrence of a pair carries the same j
+    # (small-bucket and hot-star emissions both jaccard the same two
+    # hash sets), so any_value is exact
+    return (cand.groupBy("id_a", "id_b")
+            .agg(F.any_value("j").alias("jaccard")))
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, threshold: float = 0.5,

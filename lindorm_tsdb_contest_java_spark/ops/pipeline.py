@@ -171,8 +171,17 @@ class RollupPipeline:
 
     spark: SparkSession
     root: str
-    n_buckets: int = 16
-    chunk_us: int | None = None  # time-chunk width; None = segments default (6h)
+    # None = "whatever this store was built with" (stamped at the root on
+    # first open; see _check_store_config), falling back to 16 / the 6h
+    # segments default for a brand-new store. An EXPLICIT value that
+    # conflicts with the stamp raises: n_buckets feeds the bucket-routing
+    # hash every committed read prunes on, and chunk_us feeds the chunk
+    # ids every partition overwrite is keyed by — reopening with a
+    # different value would silently return empty/partial results
+    # (routing to buckets no segment carries) or duplicate rows (chunk
+    # overwrites missing the old partitions).
+    n_buckets: int | None = None
+    chunk_us: int | None = None  # time-chunk width (us)
     commit_batch_chunks: int | None = None  # chunks per commit; None = all in one
     fail_after_chunks: int | None = None  # test hook: simulate mid-run crash
     tiers: dict = field(default_factory=lambda: {"1h": HOUR_MS, "1d": DAY_MS})
@@ -181,7 +190,43 @@ class RollupPipeline:
         os.makedirs(self.root, exist_ok=True)
         self.checkpoint = Checkpoint(os.path.join(self.root, "checkpoint.json"))
         self.lineage = LineageLog(os.path.join(self.root, "lineage"))
+        self._check_store_config()
         self._check_codec_stamp()
+
+    def _check_store_config(self) -> None:
+        """Adopt-or-refuse the store's structural parameters. The stamp
+        (store_config.json at the root) is written on first open;
+        every later open with params left at None adopts it, and an
+        explicit conflicting value fails loudly instead of mis-routing
+        (the vin-dictionary persistence concern of the reference,
+        memory/VinDictMap.java:16-25, applied to our routing params)."""
+        path = os.path.join(self.root, "store_config.json")
+        stamped = None
+        if os.path.exists(path):
+            with open(path) as f:
+                stamped = json.load(f)
+        if stamped is not None:
+            for name, given in (("n_buckets", self.n_buckets),
+                                ("chunk_us", self.chunk_us)):
+                want = int(stamped[name])
+                if given is not None and int(given) != want:
+                    raise ValueError(
+                        f"store at {self.root} was built with {name}={want} "
+                        f"but was opened with {name}={given}: bucket routing "
+                        "/ chunk partitioning would silently disagree with "
+                        "the committed layout. Omit the parameter to adopt "
+                        "the store's value.")
+            self.n_buckets = int(stamped["n_buckets"])
+            self.chunk_us = int(stamped["chunk_us"])
+            return
+        self.n_buckets = 16 if self.n_buckets is None else int(self.n_buckets)
+        self.chunk_us = (DEFAULT_CHUNK_US if self.chunk_us is None
+                         else int(self.chunk_us))
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n_buckets": self.n_buckets,
+                       "chunk_us": self.chunk_us}, f)
+        os.replace(tmp, path)
 
     def _check_codec_stamp(self) -> None:
         """Refuse to open a store whose blobs predate this codec wire

@@ -104,7 +104,8 @@ def run_available_now(tier: DataFrame, out_dir: str, checkpoint_dir: str) -> Non
 
 
 def stream_into_store(spark: SparkSession, landing_dir: str, root: str,
-                      checkpoint_dir: str, n_buckets: int = 16,
+                      checkpoint_dir: str, n_buckets: int | None = None,
+                      chunk_us: int | None = None,
                       cascade_every: int = 4,
                       max_files_per_trigger: int = 4):
     """Continuous ingestion INTO THE ENGINE'S COMPRESSED STORE: each
@@ -131,7 +132,13 @@ def stream_into_store(spark: SparkSession, landing_dir: str, root: str,
     the next flush). Returns the engine (caller queries it directly)."""
     from ..engine import TranscriptTSDB
 
-    eng = TranscriptTSDB(spark, root, n_buckets=n_buckets)
+    # chunk_us is the streaming write-amplification knob: the fast flush
+    # rewrites the TOUCHED chunks, so a long-running stream appending
+    # into the current chunk pays O(chunk content) per batch — a smaller
+    # chunk (e.g. 15 min) bounds that rewrite 24x below the 6h default
+    # at the cost of more, smaller segments. Both params adopt the
+    # store's stamped values when None (store_config.json).
+    eng = TranscriptTSDB(spark, root, n_buckets=n_buckets, chunk_us=chunk_us)
     seen = {"n": 0}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

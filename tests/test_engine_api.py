@@ -359,3 +359,38 @@ def test_percentile_query_on_facade(spark, db, oracle_pdf):
     scoped = db.execute_percentile_query(lo_ms, hi_ms, role=one["role"],
                                          tool=one["tool"]).toPandas()
     assert len(scoped) == 1 and scoped.iloc[0]["p50"] == one["p50"]
+
+
+def test_store_config_stamp_adopt_and_refuse(spark, tmp_path):
+    """Reopening a store with a DIFFERENT n_buckets would silently
+    mis-route every committed read (bucket pruning hashes into buckets
+    no segment carries); reopening with a different chunk_us would key
+    partition overwrites to different chunk ids. The store stamps both
+    at first open (store_config.json): None adopts, conflicts raise."""
+    import pandas as pd
+    root = str(tmp_path / "cfgdb")
+    rows = [("cfg-1", t, "user", f"txt {t}", "-",
+             pd.Timestamp((1_704_067_200 + t * 60) * 10**9))
+            for t in range(8)]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                      "text", "tool", "ts"])
+    e = eng.connect(spark, root, n_buckets=4)
+    e.write(spark.createDataFrame(pdf))
+    e.shutdown()
+    assert e.execute_latest_query(["cfg-1"], ["turn_idx"]).count() == 1
+
+    # parameterless reconnect adopts the stamped routing (previously the
+    # default 16 took over and the committed read found nothing)
+    e2 = eng.connect(spark, root)
+    assert e2.n_buckets == 4
+    assert e2.execute_latest_query(["cfg-1"], ["turn_idx"]).count() == 1
+    got = e2.execute_time_range_query("cfg-1", 0, 2**53, ["conv_id", "turn_idx"])
+    assert got.count() == 8
+
+    # explicit conflicting values fail loudly instead of mis-routing
+    with pytest.raises(ValueError, match="n_buckets"):
+        eng.connect(spark, root, n_buckets=16)
+    with pytest.raises(ValueError, match="chunk_us"):
+        eng.connect(spark, root, chunk_us=3_600_000_000)
+    # matching explicit values are fine
+    assert eng.connect(spark, root, n_buckets=4).n_buckets == 4
