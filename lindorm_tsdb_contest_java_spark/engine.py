@@ -69,7 +69,8 @@ _TIER_COLUMNS = ("text_len", "latency_s")  # tier-accelerated metrics
 class TranscriptTSDB:
     def __init__(self, spark: SparkSession, root: str,
                  n_buckets: int | None = None,
-                 chunk_us: int | None = None):
+                 chunk_us: int | None = None,
+                 l0_append: bool = False):
         self.spark = spark
         # unix_micros over an NTZ timestamp is session-timezone-sensitive
         # and the engine does chunk arithmetic on it BEFORE the first
@@ -93,6 +94,13 @@ class TranscriptTSDB:
                                         tiers={"1h": HOUR_MS, "1d": DAY_MS})
         self.n_buckets = self._pipeline.n_buckets
         self._segments = self._pipeline.table("segments")
+        # L0 delta store (opt-in, l0_append=True): eligible flushes
+        # APPEND encoded batch segments here instead of rewriting the
+        # touched base chunks — the reference's true O(batch) write shape
+        # (memory/MemoryTable.java:67-70). Committed reads union base ∪
+        # l0; compact() folds l0 back into the base layout.
+        self._l0 = bool(l0_append)
+        self._segments_l0 = self._pipeline.table("segments_l0")
         self._tier_1m = self._pipeline.table("tier_conv_1m")
         self._tier_latest = self._pipeline.table("tier_latest")
 
@@ -102,11 +110,28 @@ class TranscriptTSDB:
         """Schema is fixed (SchemaUtil.java:40-70 analog): a no-op kept for
         API parity."""
 
+    @staticmethod
+    def _conform(df: DataFrame) -> DataFrame:
+        """Pin the write-API row shape to the table schema
+        (TRANSCRIPT_SCHEMA / SchemaUtil.java:40-70 fixed-schema analog).
+        Callers hand over whatever dtypes their source produced — a
+        pandas frame's int64 turn_idx vs a parquet reader's int32 — and
+        without this cast the divergence propagates into the tier
+        parquet files, where two snapshots of one table end up with
+        different physical types and any read spanning both fails."""
+        return df.select(
+            F.col("conv_id").cast("string").alias("conv_id"),
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            F.col("role").cast("string").alias("role"),
+            F.col("text").cast("string").alias("text"),
+            F.col("tool").cast("string").alias("tool"),
+            F.col("ts").cast("timestamp").alias("ts"))
+
     def write(self, rows) -> None:
         """Buffer a batch (Spark or pandas DataFrame of transcript rows)."""
         df = (rows if isinstance(rows, DataFrame)
               else self.spark.createDataFrame(pd.DataFrame(rows)))
-        self._buffer.append(df.select("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+        self._buffer.append(self._conform(df))
         self._canon_cache = self._tier_cache = None
 
     def shutdown(self, cascade: bool = True) -> None:
@@ -157,15 +182,28 @@ class TranscriptTSDB:
             self._raw.append(batch)
             self._buffer = []
         if self._raw.current().files:
-            new_rows = self._raw.read(self.spark).select(*_INPUT_COLUMNS)
+            # _conform again: raw logs written by pre-conform builds (or
+            # adopted stores) may carry wider dtypes
+            new_rows = self._conform(self._raw.read(self.spark))
+            has_l0 = bool(self._segments_l0.current().files)
             if self._segments.current().files:
                 touched = self._fast_flush_chunks(new_rows)
-                if touched is not None:
+                if touched is not None and self._l0:
+                    # O(batch) append flush: delta segments into l0, no
+                    # base rewrite (see _append_flush)
+                    self._append_flush(new_rows, touched, cascade)
+                elif touched is not None and not has_l0:
                     self._pipeline.run(
                         self._fast_flush_input(new_rows, touched),
                         input_snapshot=0, restrict_chunks=touched,
                         cascade=cascade)
                 else:
+                    # fallback — also the COMPACTION path when l0 rows
+                    # exist (an l0-enabled store hitting an out-of-order
+                    # batch, or an l0 store reopened without the flag):
+                    # _decoded_input reads base ∪ l0, the run folds the
+                    # delta rows into the base chunk layout, and l0 is
+                    # retired after the commit
                     full = self._decoded_input().unionByName(new_rows)
                     # pessimistic across the crash window: anything that
                     # dies between here and the post-run update leaves
@@ -174,6 +212,9 @@ class TranscriptTSDB:
                     m = self._pipeline.run(full, input_snapshot=0,
                                            check_order=True, cascade=cascade)
                     self._set_ordered(bool(m.get("per_conv_ordered")))
+                    if has_l0:
+                        self._segments_l0.truncate(meta={"reason": "compacted"})
+                        self._segments_l0.vacuum()
             else:
                 self._set_ordered(False)
                 m = self._pipeline.run(new_rows, input_snapshot=0,
@@ -181,6 +222,56 @@ class TranscriptTSDB:
                 self._set_ordered(bool(m.get("per_conv_ordered")))
             self._raw.truncate(meta={"reason": "flushed"})
             self._raw.vacuum()
+        self._canon_cache = self._tier_cache = None
+
+    def _append_flush(self, new_rows: DataFrame, touched: list[int],
+                      cascade: bool) -> None:
+        """O(batch) delta flush (l0_append=True + fast-path eligible):
+        canonicalize the batch with its latest-tier lag context, encode
+        ONLY the batch rows, and hand them to pipeline.append_l0 — the
+        base segments are never decoded or rewritten. Replay-safe: keys
+        already present in l0 (a flush that crashed between the segment
+        append and the raw-log truncate replays the same log content)
+        are anti-joined out before encoding, and the downstream tier
+        rebuild/merge is idempotent."""
+        if self._segments_l0.current().files:
+            seen = decode_segments(
+                self._segments_l0.read(self.spark).filter(
+                    F.col("time_chunk").isin([int(c) for c in touched])),
+                ["conv_id", "turn_idx"]).distinct()
+            new_rows = new_rows.join(seen, ["conv_id", "turn_idx"],
+                                     "left_anti")
+        context = (self._tier_latest.read(self.spark)
+                   .join(new_rows.select("conv_id").distinct(),
+                         "conv_id", "left_semi")
+                   .select(*_INPUT_COLUMNS))
+        canon = canonicalize(new_rows.unionByName(context),
+                             n_buckets=self.n_buckets,
+                             chunk_us=self._pipeline.chunk_us)
+        # context rows exist only to give each conversation's first batch
+        # row its true lag latency; they are already committed, so only
+        # the batch keys are encoded
+        batch_canon = canon.join(
+            new_rows.select("conv_id", "turn_idx").distinct(),
+            ["conv_id", "turn_idx"], "left_semi")
+        self._pipeline.append_l0(batch_canon, touched, cascade=cascade)
+
+    def compact(self, cascade: bool = True) -> None:
+        """Fold the l0 delta segments back into the base chunk layout
+        (the LSM merge): re-derives the canonical history from base ∪ l0
+        and re-runs the pipeline — the content fingerprints rewrite
+        exactly the chunks l0 touched — then retires l0. No-op when l0
+        is empty. Reads drop the base∪l0 union (and their worst-case
+        extra segment fan-in) afterwards."""
+        if not self._segments_l0.current().files:
+            return
+        full = self._decoded_input()
+        self._set_ordered(False)
+        m = self._pipeline.run(full, input_snapshot=0,
+                               check_order=True, cascade=cascade)
+        self._set_ordered(bool(m.get("per_conv_ordered")))
+        self._segments_l0.truncate(meta={"reason": "compacted"})
+        self._segments_l0.vacuum()
         self._canon_cache = self._tier_cache = None
 
     def run_cascade(self) -> None:
@@ -213,7 +304,7 @@ class TranscriptTSDB:
             names.append(prefix + name)
 
         if self._segments.current().files:
-            seg = self._segments.read(self.spark)
+            seg = self._read_segments()
             reg("segments", seg)
             reg("transcripts", with_ts(decode_segments(seg)))
             reg("transcripts_meta", decode_segments(
@@ -231,13 +322,24 @@ class TranscriptTSDB:
 
     # ---------- incremental-flush machinery ----------
 
+    def _read_segments(self) -> DataFrame:
+        """The committed segment store: base ∪ l0 delta segments (same
+        schema; zone-map pruning applies to both). (conv_id, turn_idx)
+        is unique across the union — l0 only ever receives rows strictly
+        after each conversation's committed latest (the eligibility
+        probe), so no read-side dedup is needed."""
+        seg = self._segments.read(self.spark)
+        if self._segments_l0.current().files:
+            seg = seg.unionByName(self._segments_l0.read(self.spark))
+        return seg
+
     def _decoded_input(self) -> DataFrame:
         """The committed history in canonicalize-input form, re-derived
         from the compressed store (per-turn text equality is the pinned
         round-trip invariant, so this IS the original input modulo
         upsert dedup — which canonicalize re-applies idempotently)."""
         decoded = decode_segments(
-            self._segments.read(self.spark),
+            self._read_segments(),
             ["conv_id", "turn_idx", "role", "text", "tool", "ts_us"])
         return (decoded.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
                 .select(*_INPUT_COLUMNS))
@@ -300,7 +402,7 @@ class TranscriptTSDB:
         Context rows live outside the restricted chunks, so run() drops
         them after the windows; a context row whose chunk IS touched
         duplicates its decoded sibling and upsert-dedup keeps one."""
-        seg = self._segments.read(self.spark).filter(
+        seg = self._read_segments().filter(
             F.col("time_chunk").isin([int(c) for c in touched]))
         decoded = (decode_segments(
             seg, ["conv_id", "turn_idx", "role", "text", "tool", "ts_us"])
@@ -422,7 +524,7 @@ class TranscriptTSDB:
         decode (TSFileService.java:297-447)."""
         cols = list(dict.fromkeys(["conv_id", "ts_us", column]))
         return time_range_from_segments(
-            self._segments.read(self.spark), conv_id, lb_ms, ub_ms,
+            self._read_segments(), conv_id, lb_ms, ub_ms,
             cols, n_buckets=self.n_buckets)
 
     def _edge_rows(self, conv_id: str, lb_ms: int, ub_ms: int,
@@ -535,7 +637,7 @@ class TranscriptTSDB:
         cols = columns or [c for c in CANONICAL_COLUMNS if c != "ts"]
         if self._committed():
             return time_range_from_segments(
-                self._segments.read(self.spark), conv_id, lb_ms, ub_ms,
+                self._read_segments(), conv_id, lb_ms, ub_ms,
                 cols, n_buckets=self.n_buckets)
         return Q.time_range(self._canonical(), conv_id, lb_ms, ub_ms, cols)
 

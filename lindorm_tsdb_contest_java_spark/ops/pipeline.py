@@ -33,7 +33,9 @@ from ..operators.tiers import (
     build_conv_tier, build_latest_tier, build_rate_tier,
     rollup_conv_tier, rollup_rate_tier,
 )
-from ..sources.segments import DEFAULT_CHUNK_US, canonicalize, encode_segments
+from ..sources.segments import (
+    DEFAULT_CHUNK_US, canonicalize, decode_segments, encode_segments,
+)
 from ..sources.table import SnapshotTable
 
 
@@ -344,6 +346,83 @@ class RollupPipeline:
         """Catch the 1h/1d tiers up to the 1m tier (public entry for
         deferred-cascade callers; a no-op when nothing is pending)."""
         self._cascade()
+
+    def append_l0(self, batch_canon: DataFrame, touched: list[int],
+                  cascade: bool = True) -> dict:
+        """O(batch) LSM-style delta flush — the reference's actual write
+        shape (memory/MemoryTable.java:67-70 appends a 250-row block per
+        flush and NEVER rewrites committed blocks). The canonical batch
+        is encoded into delta segments APPENDED to `segments_l0` (the
+        base `segments` table is untouched), and the touched chunks' 1m
+        tiers are rebuilt from a numeric-only decode of base ∪ l0 —
+        text, ~75% of all segment bytes, is never read. Compaction
+        (engine.compact, or any fallback flush) folds l0 into the base
+        chunk layout via the ordinary rewrite path.
+
+        Idempotent by construction: the caller (engine._append_flush)
+        anti-joins replayed keys out before encoding, the tier rebuild
+        is a from-storage partition overwrite (no merge arithmetic to
+        double-count), and latest-tier maintenance is a max_by merge
+        (commutative/idempotent). Every engine read of the committed
+        store unions base ∪ l0, and (conv_id, turn_idx) stays unique
+        across both because the eligibility probe admits only rows
+        strictly after each conversation's committed latest."""
+        t0 = time.perf_counter()
+        touched = [int(c) for c in touched]
+        l0 = self.table("segments_l0")
+        enc = encode_segments(batch_canon).cache()
+        try:
+            agg = enc.agg(F.sum("n_rows"), F.sum("encoded_bytes")).collect()[0]
+            rows, enc_bytes = int(agg[0] or 0), int(agg[1] or 0)
+            if rows:
+                l0.append(enc, meta={"codec_version": CODEC_VERSION,
+                                     "l0_chunks": touched})
+            # touched-chunk 1m tiers rebuilt FROM STORAGE (base ∪ l0,
+            # numeric columns only) — idempotent overwrite, O(chunk
+            # numeric + batch), no text decode
+            chunk_filter = F.col("time_chunk").isin(touched)
+            seg = self.table("segments").read(self.spark).filter(chunk_filter)
+            both = seg.unionByName(l0.read(self.spark).filter(chunk_filter))
+            num = decode_segments(
+                both, ["conv_id", "time_chunk", "ts_us", "text_len",
+                       "latency_s", "role", "tool"])
+            # decoded text_len is int64; the canonical frame the rewrite
+            # path builds tiers from carries int32 (F.length) — keep the
+            # tier parquet types identical across both write paths or a
+            # mixed-snapshot read fails on the type mismatch
+            num = num.withColumn("text_len", F.col("text_len").cast("int"))
+            chunk_us = self.chunk_us or DEFAULT_CHUNK_US
+            chunk_of = (F.floor(F.col("bucket_ms") * 1000 / F.lit(chunk_us))
+                        .cast("long").alias("time_chunk"))
+            lt = self.table("tier_latest")
+            # latest tier: max_by merge of the old touched partitions with
+            # the batch rows — idempotent (re-merging already-included
+            # rows re-picks the same winner), so replays are harmless
+            lt_in = (lt.read(self.spark).filter(chunk_filter)
+                     .unionByName(batch_canon.select(*lt.read(self.spark).columns))
+                     if lt.current().files else batch_canon)
+            _parallel_jobs(
+                lambda: self.table("tier_conv_1m").overwrite_partitions_multi(
+                    build_conv_tier(num).withColumn("time_chunk", chunk_of),
+                    "time_chunk", touched),
+                lambda: self.table("tier_rate_1m").overwrite_partitions_multi(
+                    build_rate_tier(num).withColumn("time_chunk", chunk_of),
+                    "time_chunk", touched),
+                lambda: lt.overwrite_partitions_multi(
+                    build_latest_tier(lt_in), "time_chunk", touched),
+            )
+            self.checkpoint.add_cascade_pending(touched)
+            if cascade:
+                self.cascade()
+            self.lineage.record(
+                job="l0_flush", phase="append", row_count=rows,
+                encoded_bytes=enc_bytes,
+                input_files=",".join(str(c) for c in touched),
+                wall_s=time.perf_counter() - t0)
+            self.lineage.compact()
+            return {"rows": rows, "encoded_bytes": enc_bytes}
+        finally:
+            enc.unpersist()
 
     def _cascade(self) -> None:
         """INCREMENTAL 1h/1d rebuild: recompute only the coarse windows

@@ -110,6 +110,14 @@ def apply_retention(pipeline, policy: RetentionPolicy,
     asks of every tier write apply to tier *deletes* too."""
     now_us = int(time.time() * 1e6) if now_us is None else int(now_us)
     chunk_us = pipeline.chunk_us or DEFAULT_CHUNK_US
+    # l0 delta segments (engine l0_append flushes) carry no partition
+    # metadata — a retention drop over the base table would leave their
+    # expired rows alive and un-expirable. Compact first.
+    if pipeline.table("segments_l0").current().files:
+        raise ValueError(
+            "store has un-compacted l0 delta segments: run "
+            "engine.compact() before applying retention (partition "
+            "drops only see the base segment layout)")
     # The engine's committed aggregate/downsample paths serve interior
     # buckets SOLELY from the 1m tier (routed_aggregate/_downsample):
     # expiring 1m chunks while their segments are still retained would

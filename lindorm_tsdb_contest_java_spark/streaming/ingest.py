@@ -107,7 +107,9 @@ def stream_into_store(spark: SparkSession, landing_dir: str, root: str,
                       checkpoint_dir: str, n_buckets: int | None = None,
                       chunk_us: int | None = None,
                       cascade_every: int = 4,
-                      max_files_per_trigger: int = 4):
+                      max_files_per_trigger: int = 4,
+                      l0_append: bool = False,
+                      compact_at_end: bool = True):
     """Continuous ingestion INTO THE ENGINE'S COMPRESSED STORE: each
     micro-batch is an engine write + memtable-cost flush, so a stream of
     landing files becomes encoded segments + maintained tiers with
@@ -132,13 +134,15 @@ def stream_into_store(spark: SparkSession, landing_dir: str, root: str,
     the next flush). Returns the engine (caller queries it directly)."""
     from ..engine import TranscriptTSDB
 
-    # chunk_us is the streaming write-amplification knob: the fast flush
-    # rewrites the TOUCHED chunks, so a long-running stream appending
-    # into the current chunk pays O(chunk content) per batch — a smaller
-    # chunk (e.g. 15 min) bounds that rewrite 24x below the 6h default
-    # at the cost of more, smaller segments. Both params adopt the
-    # store's stamped values when None (store_config.json).
-    eng = TranscriptTSDB(spark, root, n_buckets=n_buckets, chunk_us=chunk_us)
+    # Two write-amplification knobs for the default (rewrite) flush:
+    # chunk_us bounds how much a touched-chunk rewrite re-encodes (15 min
+    # chunks = 24x less than the 6h default), and l0_append switches the
+    # flush to the O(batch) delta-segment path entirely — eligible
+    # batches APPEND encoded segments (engine._append_flush) and the
+    # stream-end compaction folds them into the base layout. Params left
+    # at None adopt the store's stamped values (store_config.json).
+    eng = TranscriptTSDB(spark, root, n_buckets=n_buckets, chunk_us=chunk_us,
+                         l0_append=l0_append)
     seen = {"n": 0}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -159,4 +163,6 @@ def stream_into_store(spark: SparkSession, landing_dir: str, root: str,
          .start())
     q.awaitTermination()
     eng.run_cascade()  # catch-up: coarse tiers current at return
+    if l0_append and compact_at_end:
+        eng.compact()  # fold delta segments into the base chunk layout
     return eng
