@@ -201,3 +201,36 @@ def test_stream_deferred_cascade_amortizes_and_catches_up(spark, tmp_path):
     want = sorted(map(str, batch_eng._pipeline.table("tier_conv_1h")
                       .read(spark).collect()))
     assert got == want
+
+
+def test_stream_into_store_l0_append(spark, tmp_path):
+    """stream_into_store(l0_append=True): ordered micro-batches take the
+    O(batch) delta-segment flush, the stream-end compaction folds them
+    into the base layout, and every answer equals a batch-built twin."""
+    from lindorm_tsdb_contest_java_spark import engine as EM
+    from lindorm_tsdb_contest_java_spark.streaming.ingest import stream_into_store
+
+    pdf = generate_transcripts(n_conv=30, mean_turns=20, seed=9)
+    pdf = pdf.sort_values("ts").reset_index(drop=True)
+    third = len(pdf) // 3
+    landing = str(tmp_path / "landing-l0")
+    os.makedirs(landing)
+    bounds = [(0, third), (third, 2 * third), (2 * third, len(pdf))]
+    for i, (lo, hi) in enumerate(bounds):
+        write_transcripts_parquet(pdf.iloc[lo:hi], f"{landing}/b{i}.parquet")
+
+    root = str(tmp_path / "store-l0")
+    eng = stream_into_store(spark, landing, root, str(tmp_path / "ckpt-l0"),
+                            n_buckets=8, max_files_per_trigger=1,
+                            l0_append=True)
+    # compacted at stream end: delta store retired, base self-contained
+    assert not eng._segments_l0.current().files
+    assert eng._raw.current().files == []
+
+    twin = EM.connect(spark, str(tmp_path / "twin-l0"), n_buckets=8)
+    twin.write(spark.createDataFrame(pdf))
+    twin.shutdown()
+    assert sorted(map(str, eng.execute_latest_query().collect())) == \
+        sorted(map(str, twin.execute_latest_query().collect()))
+    assert sorted(map(str, eng._decoded_input().collect())) == \
+        sorted(map(str, twin._decoded_input().collect()))
