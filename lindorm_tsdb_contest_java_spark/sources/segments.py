@@ -203,7 +203,7 @@ _SEGMENT_PA_SCHEMA = pa.schema(
 )
 
 
-def _encode_slice(tbl: pa.Table) -> dict:
+def _encode_slice(tbl: pa.Table, text_level: int = 3) -> dict:
     """Encode one (already conv/turn/ts-sorted) slice into a single
     segment-row dict. Arrow-native: column extraction stays in Arrow,
     text bytes go straight from the (properly sliced) Arrow buffer into
@@ -233,7 +233,7 @@ def _encode_slice(tbl: pa.Table) -> dict:
         # ext_lengths: pure-ASCII blocks (byte len == text_len char len)
         # store the lengths ONLY in blob_text_len; proven per block
         "blob_text": text_encode(tbl.column("text").combine_chunks(),
-                                 ext_lengths=tlen),
+                                 level=text_level, ext_lengths=tlen),
     }
     return {
         "conv_bucket": int(tbl.column("conv_bucket")[0].as_py()),
@@ -258,7 +258,8 @@ def _encode_slice(tbl: pa.Table) -> dict:
 
 
 def _encode_group_arrow(tbl: pa.Table,
-                        target_rows: int = DEFAULT_SEGMENT_ROWS) -> pa.Table:
+                        target_rows: int = DEFAULT_SEGMENT_ROWS,
+                        text_level: int = 3) -> pa.Table:
     """One encode group (conv_bucket, time_chunk) → one OR MORE segment
     rows: groups above `target_rows` are split at conversation
     boundaries into conv-range sub-segments (each >= target_rows, never
@@ -288,7 +289,7 @@ def _encode_group_arrow(tbl: pa.Table,
         # merge it into its predecessor instead
         if len(starts) > 1 and n - starts[-1] < target_rows // 2:
             starts.pop()
-    rows = [_encode_slice(tbl.slice(s, e - s))
+    rows = [_encode_slice(tbl.slice(s, e - s), text_level=text_level)
             for s, e in zip(starts, starts[1:] + [n])]
     return pa.table({f.name: [r[f.name] for r in rows]
                      for f in _SEGMENT_PA_SCHEMA},
@@ -297,7 +298,8 @@ def _encode_group_arrow(tbl: pa.Table,
 
 def encode_segments(canonical: DataFrame,
                     max_rows_per_conv: int | None = None,
-                    segment_rows: int = DEFAULT_SEGMENT_ROWS) -> DataFrame:
+                    segment_rows: int = DEFAULT_SEGMENT_ROWS,
+                    text_level: int = 3) -> DataFrame:
     """canonical transcripts → encoded segment rows per (bucket, chunk),
     sub-split at conversation boundaries into >= segment_rows slices
     (see _encode_group_arrow — the conv zone map is what makes
@@ -306,6 +308,11 @@ def encode_segments(canonical: DataFrame,
     groupBy keys are the partition/zone columns, so the shuffle this
     induces is exactly the reference's shard routing; AQE coalesces or
     splits skewed groups at runtime.
+
+    text_level is the zstd level for the text stream — the storage-heavy
+    deployment knob (level 12 measured -1.2 B/turn at ~3x the text-encode
+    CPU on the bench corpus; default 3 mirrors the reference's zstd-3,
+    StringCompress.java envelope).
 
     max_rows_per_conv is the explicit skew valve the north_rule asks for:
     a hot conversation is split into deterministic turn-index runs of at
@@ -322,14 +329,16 @@ def encode_segments(canonical: DataFrame,
             "_seg_salt", F.floor(F.col("turn_idx") / F.lit(max_rows_per_conv)))
         def encode_salted(t: pa.Table) -> pa.Table:
             return _encode_group_arrow(t.drop_columns(["_seg_salt"]),
-                                       target_rows=segment_rows)
+                                       target_rows=segment_rows,
+                                       text_level=text_level)
 
         return (salted
                 .groupBy("conv_bucket", "time_chunk", "_seg_salt")
                 .applyInArrow(encode_salted, schema=SEGMENT_SCHEMA))
 
     def encode(t: pa.Table) -> pa.Table:
-        return _encode_group_arrow(t, target_rows=segment_rows)
+        return _encode_group_arrow(t, target_rows=segment_rows,
+                                   text_level=text_level)
 
     return (
         canonical

@@ -243,3 +243,19 @@ def test_text_blobs_use_ext_length_modes(segments):
     modes = [r[0][0] for r in segments.select("blob_text").collect()]
     assert modes and all(
         m in (TEXT_MODE_EXTLEN, TEXT_MODE_EXTLEN_DELTA) for m in modes)
+
+
+def test_text_level_knob(spark):
+    """encode_segments(text_level=12): smaller text blobs, identical
+    round-trip — the storage-heavy deployment knob."""
+    canon = _multi_conv_df(spark).cache()
+    s3 = encode_segments(canon).agg(
+        F.sum("encoded_bytes").alias("b")).collect()[0]["b"]
+    segs12 = encode_segments(canon, text_level=12).cache()
+    s12 = segs12.agg(F.sum("encoded_bytes").alias("b")).collect()[0]["b"]
+    assert s12 <= s3
+    cols = ["conv_id", "turn_idx", "ts_us", "text"]
+    got = _sorted_pdf(decode_segments(segs12, cols), cols)
+    want = _sorted_pdf(canon, cols)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    canon.unpersist()
