@@ -109,7 +109,8 @@ def stream_into_store(spark: SparkSession, landing_dir: str, root: str,
                       cascade_every: int = 4,
                       max_files_per_trigger: int = 4,
                       l0_append: bool = False,
-                      compact_at_end: bool = True):
+                      compact_at_end: bool = True,
+                      compact_every: int | None = None):
     """Continuous ingestion INTO THE ENGINE'S COMPRESSED STORE: each
     micro-batch is an engine write + memtable-cost flush, so a stream of
     landing files becomes encoded segments + maintained tiers with
@@ -125,6 +126,11 @@ def stream_into_store(spark: SparkSession, landing_dir: str, root: str,
     guarantees the coarse tiers are current when the call returns.
     Deferral never affects 1m-tier/segment-served queries (every engine
     query path); only coarse 1h/1d reads would lag mid-stream.
+
+    `compact_every` (with l0_append) bounds the delta store on long
+    streams: every Nth batch folds l0 into the base layout. A compaction
+    is the ordinary O(changed chunks) rewrite — the LSM merge trade —
+    so pick N to amortize it against the O(batch) appends between.
 
     Restart safety is double-layered: the streaming checkpoint replays
     any batch whose flush didn't complete, and the pipeline's content
@@ -155,6 +161,12 @@ def stream_into_store(spark: SparkSession, landing_dir: str, root: str,
         eng.write(batch_df)
         eng.shutdown(cascade=(cascade_every <= 1
                               or seen["n"] % cascade_every == 0))
+        # periodic L0 compaction bounds the delta store on unbounded
+        # streams (read fan-in and the replay anti-join both grow with
+        # l0): fold every Nth batch, not just at stream end
+        if (l0_append and compact_every
+                and seen["n"] % compact_every == 0):
+            eng.compact()
 
     q = (read_transcript_stream(spark, landing_dir, max_files_per_trigger)
          .writeStream.foreachBatch(sink)

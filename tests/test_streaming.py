@@ -222,7 +222,7 @@ def test_stream_into_store_l0_append(spark, tmp_path):
     root = str(tmp_path / "store-l0")
     eng = stream_into_store(spark, landing, root, str(tmp_path / "ckpt-l0"),
                             n_buckets=8, max_files_per_trigger=1,
-                            l0_append=True)
+                            l0_append=True, compact_every=2)
     # compacted at stream end: delta store retired, base self-contained
     assert not eng._segments_l0.current().files
     assert eng._raw.current().files == []
