@@ -198,3 +198,29 @@ def test_l0_tier_types_match_rewrite_layout(spark, tmp_path):
     got = a.execute_aggregate_query("l0-001", "text_len", lb,
                                     lb + 10 * 86_400_000, "AVG").collect()
     assert len(got) == 1
+
+
+def test_l0_restart_protocol(spark, tmp_path):
+    """The contest's restart protocol over an UN-compacted l0 store: a
+    fresh connect (no l0 flag needed for reads) serves every query from
+    base ∪ l0 identically."""
+    root = str(tmp_path / "l0restart")
+    a = eng.connect(spark, root, n_buckets=4, l0_append=True)
+    a.write(spark.createDataFrame(_rows(range(8), range(0, 5))))
+    a.shutdown()
+    a.write(spark.createDataFrame(_rows(range(8), range(5, 8))))
+    a.shutdown()
+    assert a._segments_l0.current().files
+    lb = BASE_S * 1000 - 60_000
+    ub = lb + 40 * 86_400_000
+    want = _queries(a, lb, ub)
+    fresh = eng.connect(spark, root)  # adopts stamped n_buckets, reads l0
+    assert fresh.n_buckets == 4
+    assert _queries(fresh, lb, ub) == want
+    # and a fresh l0-enabled instance keeps appending
+    fresh2 = eng.connect(spark, root, l0_append=True)
+    fresh2.write(spark.createDataFrame(_rows(range(8), range(8, 10))))
+    fresh2.shutdown()
+    assert fresh2._segments.current().snapshot_id == 1  # still no rewrite
+    got = fresh2.execute_time_range_query("l0-004", lb, ub, ["turn_idx"])
+    assert got.count() == 10
