@@ -103,6 +103,7 @@ class TranscriptTSDB:
         self._segments_l0 = self._pipeline.table("segments_l0")
         self._tier_1m = self._pipeline.table("tier_conv_1m")
         self._tier_latest = self._pipeline.table("tier_latest")
+        self._heal_compact()
 
     # ---------- write path ----------
 
@@ -262,9 +263,22 @@ class TranscriptTSDB:
         and re-runs the pipeline — the content fingerprints rewrite
         exactly the chunks l0 touched — then retires l0. No-op when l0
         is empty. Reads drop the base∪l0 union (and their worst-case
-        extra segment fan-in) afterwards."""
+        extra segment fan-in) afterwards.
+
+        Crash-atomicity (ADVICE r04 medium): the base rewrite and the l0
+        truncate are two separate commits — a crash between them would
+        leave every l0 row present in BOTH stores, and committed reads
+        union the two with no dedup (by design). An inflight marker
+        (compact_state.json) written before the rewrite and cleared
+        after the truncate closes the window: connect() re-runs compact
+        whenever the marker survives with a non-empty l0. The re-run is
+        idempotent — canonicalize's upsert dedup collapses the duplicated
+        rows, the content fingerprints then match the already-rewritten
+        chunks (zero chunks re-encoded), and the truncate completes."""
         if not self._segments_l0.current().files:
+            self._clear_compact_marker()  # tidy a stale marker
             return
+        self._set_compact_marker()
         full = self._decoded_input()
         self._set_ordered(False)
         m = self._pipeline.run(full, input_snapshot=0,
@@ -272,7 +286,38 @@ class TranscriptTSDB:
         self._set_ordered(bool(m.get("per_conv_ordered")))
         self._segments_l0.truncate(meta={"reason": "compacted"})
         self._segments_l0.vacuum()
+        self._clear_compact_marker()
         self._canon_cache = self._tier_cache = None
+
+    def _compact_marker_path(self) -> str:
+        return os.path.join(self.root, "compact_state.json")
+
+    def _set_compact_marker(self) -> None:
+        tmp = self._compact_marker_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"inflight": True}, f)
+        os.replace(tmp, self._compact_marker_path())
+
+    def _clear_compact_marker(self) -> None:
+        try:
+            os.remove(self._compact_marker_path())
+        except FileNotFoundError:
+            pass
+
+    def _heal_compact(self) -> None:
+        """Finish a compaction that crashed between its two commits (see
+        compact()): with the inflight marker still present and l0
+        non-empty, either the base rewrite never committed (the re-run
+        redoes it) or it committed and only the truncate is missing (the
+        re-run's fingerprints all match and it reduces to the truncate).
+        Without this, every committed read would return the l0 rows
+        twice until the next explicit compact."""
+        if not os.path.exists(self._compact_marker_path()):
+            return
+        if self._segments_l0.current().files:
+            self.compact()
+        else:
+            self._clear_compact_marker()
 
     def run_cascade(self) -> None:
         """Catch the 1h/1d coarse tiers up after deferred-cascade

@@ -173,6 +173,9 @@ class RollupPipeline:
 
     spark: SparkSession
     root: str
+    # test hook: raise after the l0 segment append but before the tier
+    # writes — the crash window whose replay must still repair tier_latest
+    fail_after_l0_append: bool = False
     # None = "whatever this store was built with" (stamped at the root on
     # first open; see _check_store_config), falling back to 16 / the 6h
     # segments default for a brand-new store. An EXPLICIT value that
@@ -207,6 +210,19 @@ class RollupPipeline:
         if os.path.exists(path):
             with open(path) as f:
                 stamped = json.load(f)
+
+        def _validate_chunk_us(v: int) -> None:
+            # the 1m-tier partition assignment (chunk_of in _run_batch and
+            # append_l0) assumes tier buckets never straddle chunks: a
+            # chunk width that is not a positive multiple of the 1m tier
+            # grain would assign straddling buckets to the wrong partition
+            # and corrupt tier overwrites (ADVICE r04 low)
+            if v <= 0 or v % (MINUTE_MS * 1000) != 0:
+                raise ValueError(
+                    f"chunk_us={v} must be a positive multiple of "
+                    f"{MINUTE_MS * 1000} (the 1m tier grain): tier buckets "
+                    "must never straddle time chunks or partition-scoped "
+                    "tier overwrites would corrupt aggregates.")
         if stamped is not None:
             for name, given in (("n_buckets", self.n_buckets),
                                 ("chunk_us", self.chunk_us)):
@@ -220,10 +236,12 @@ class RollupPipeline:
                         "the store's value.")
             self.n_buckets = int(stamped["n_buckets"])
             self.chunk_us = int(stamped["chunk_us"])
+            _validate_chunk_us(self.chunk_us)
             return
         self.n_buckets = 16 if self.n_buckets is None else int(self.n_buckets)
         self.chunk_us = (DEFAULT_CHUNK_US if self.chunk_us is None
                          else int(self.chunk_us))
+        _validate_chunk_us(self.chunk_us)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"n_buckets": self.n_buckets,
@@ -377,6 +395,9 @@ class RollupPipeline:
             if rows:
                 l0.append(enc, meta={"codec_version": CODEC_VERSION,
                                      "l0_chunks": touched})
+            if self.fail_after_l0_append:
+                raise RuntimeError("simulated failure (test hook): crashed "
+                                   "after l0 append, before tier writes")
             # touched-chunk 1m tiers rebuilt FROM STORAGE (base ∪ l0,
             # numeric columns only) — idempotent overwrite, O(chunk
             # numeric + batch), no text decode
@@ -396,11 +417,34 @@ class RollupPipeline:
                         .cast("long").alias("time_chunk"))
             lt = self.table("tier_latest")
             # latest tier: max_by merge of the old touched partitions with
-            # the batch rows — idempotent (re-merging already-included
-            # rows re-picks the same winner), so replays are harmless
+            # the rows DECODED FROM l0 ITSELF (which now include this
+            # flush's append) — NOT with batch_canon. A crash-replayed
+            # flush anti-joins its whole batch away (batch_canon empty),
+            # but the rows the crashed flush already appended to l0 still
+            # need to enter tier_latest, or latest queries / the next
+            # flush's lag context / the eligibility probe silently use a
+            # stale latest until a compaction (ADVICE r04 high). Rebuilding
+            # from storage makes the repair unconditional; the merge stays
+            # idempotent (max_by re-picks the same winner). l0 is bounded
+            # by compact_every, so decoding its touched chunks (text
+            # included — the latest tier carries full rows) is O(recent
+            # batches), never O(history).
+            if l0.current().files:
+                l0_latest_in = decode_segments(
+                    l0.read(self.spark).filter(chunk_filter),
+                    ["conv_id", "turn_idx", "role", "text", "tool", "ts_us",
+                     "text_len", "latency_s", "conv_bucket", "time_chunk"])
+                l0_latest_in = (l0_latest_in
+                                .withColumn("ts",
+                                            F.timestamp_micros(F.col("ts_us")))
+                                .withColumn("text_len",
+                                            F.col("text_len").cast("int")))
+            else:  # empty batch against an empty l0: nothing to repair
+                l0_latest_in = batch_canon
             lt_in = (lt.read(self.spark).filter(chunk_filter)
-                     .unionByName(batch_canon.select(*lt.read(self.spark).columns))
-                     if lt.current().files else batch_canon)
+                     .unionByName(l0_latest_in
+                                  .select(*lt.read(self.spark).columns))
+                     if lt.current().files else l0_latest_in)
             _parallel_jobs(
                 lambda: self.table("tier_conv_1m").overwrite_partitions_multi(
                     build_conv_tier(num).withColumn("time_chunk", chunk_of),

@@ -224,3 +224,78 @@ def test_l0_restart_protocol(spark, tmp_path):
     assert fresh2._segments.current().snapshot_id == 1  # still no rewrite
     got = fresh2.execute_time_range_query("l0-004", lb, ub, ["turn_idx"])
     assert got.count() == 10
+
+
+def test_l0_crash_after_append_repairs_latest_on_replay(spark, tmp_path):
+    """A flush that crashes AFTER the l0 segment append but BEFORE the
+    tier writes replays from the raw log with an EMPTY batch (the key
+    anti-join removes everything already in l0) — the replay must still
+    rebuild tier_latest from the l0 store itself, or latest queries, the
+    next flush's lag context, and the eligibility probe all use a stale
+    latest until a compaction (ADVICE r04 high)."""
+    a = eng.connect(spark, str(tmp_path / "l0crash"), n_buckets=4,
+                    l0_append=True)
+    b = eng.connect(spark, str(tmp_path / "twincrash"), n_buckets=4)
+    first = _rows(range(6), range(0, 5))
+    second = _rows(range(6), range(5, 8))
+    for e in (a, b):
+        e.write(spark.createDataFrame(first))
+        e.shutdown()
+    b.write(spark.createDataFrame(second))
+    b.shutdown()
+    # crash window: l0 segments appended, tier writes never ran
+    a._pipeline.fail_after_l0_append = True
+    a.write(spark.createDataFrame(second))
+    with pytest.raises(RuntimeError, match="simulated"):
+        a.shutdown()
+    # reopen (fresh process): raw log still holds the batch; the replay's
+    # anti-join empties it, and the tier rebuild must repair tier_latest
+    a2 = eng.connect(spark, str(tmp_path / "l0crash"), n_buckets=4,
+                     l0_append=True)
+    a2.shutdown()
+    lt = a2._tier_latest.read(spark)
+    assert lt.agg(F.max("turn_idx")).collect()[0][0] == 7, \
+        "replayed flush left tier_latest stale"
+    lb = BASE_S * 1000 - 60_000
+    ub = lb + 40 * 86_400_000
+    assert _queries(a2, lb, ub) == _queries(b, lb, ub)
+    # the repaired latest also re-enables the next fast flush correctly
+    third = _rows(range(6), range(8, 10))
+    for e in (a2, b):
+        e.write(spark.createDataFrame(third))
+        e.shutdown()
+    assert _queries(a2, lb, ub) == _queries(b, lb, ub)
+
+
+def test_compact_crash_between_commits_heals_at_connect(spark, tmp_path):
+    """compact() commits the base rewrite and the l0 truncate separately:
+    a crash between the two leaves every l0 row in BOTH stores and
+    committed reads would return them twice. The inflight marker makes
+    connect() finish the job (ADVICE r04 medium)."""
+    root = str(tmp_path / "l0heal")
+    a = eng.connect(spark, root, n_buckets=4, l0_append=True)
+    b = eng.connect(spark, str(tmp_path / "twinheal"), n_buckets=4)
+    for e in (a, b):
+        e.write(spark.createDataFrame(_rows(range(6), range(0, 5))))
+        e.shutdown()
+        e.write(spark.createDataFrame(_rows(range(6), range(5, 8))))
+        e.shutdown()
+    assert a._segments_l0.current().files
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("simulated crash before l0 truncate")
+
+    a._segments_l0.truncate = boom  # instance-level test hook
+    with pytest.raises(RuntimeError, match="simulated"):
+        a.compact()
+    import os
+    assert os.path.exists(a._compact_marker_path())
+    # reopen: the heal re-runs the (idempotent) compaction and truncates
+    a2 = eng.connect(spark, root, n_buckets=4, l0_append=True)
+    assert not a2._segments_l0.current().files, "heal must retire l0"
+    assert not os.path.exists(a2._compact_marker_path())
+    lb = BASE_S * 1000 - 60_000
+    ub = lb + 40 * 86_400_000
+    assert _queries(a2, lb, ub) == _queries(b, lb, ub)
+    got = a2.execute_time_range_query("l0-001", lb, ub, ["turn_idx"])
+    assert got.count() == 8, "duplicated rows survived the heal"

@@ -209,3 +209,16 @@ def test_lineage_compaction_preserves_rows(spark, transcripts_df, tmp_path):
     assert len(p.lineage.table.current().files) == 1 < max(files_before, 2)
     assert p.lineage.read(spark).count() == n_before
     assert p.lineage.compact(max_files=64) is False  # under threshold: no-op
+
+
+def test_chunk_us_must_align_with_tier_grain(spark, tmp_path):
+    """chunk_us is a user-facing knob stamped into store_config.json; the
+    1m-tier partition assignment assumes tier buckets never straddle
+    chunks, so a width that is not a positive multiple of 60s must be
+    refused at open, not corrupt tier overwrites later (ADVICE r04)."""
+    with pytest.raises(ValueError, match="multiple of"):
+        RollupPipeline(spark, str(tmp_path / "bad90s"), chunk_us=90_000_000)
+    with pytest.raises(ValueError, match="multiple of"):
+        RollupPipeline(spark, str(tmp_path / "badneg"), chunk_us=-60_000_000)
+    # aligned widths (any multiple of a minute) still open fine
+    RollupPipeline(spark, str(tmp_path / "ok2m"), chunk_us=120_000_000)
