@@ -1042,11 +1042,19 @@ bandex AS (
          (simhash >> (b * {_SH_WIDTH})) & {(1 << _SH_WIDTH) - 1} AS key
   FROM sh, (SELECT unnest(range(0, {_SH_BANDS})) AS b)
 ),
+bsz AS (
+  SELECT b, key, COUNT(*) AS n, MIN(doc_id) AS rep
+  FROM bandex GROUP BY b, key
+),
+-- hot-band valve mirror: buckets above the cap reduce to star pairs
+-- against the min-id representative (a.doc_id = rep), matching Spark
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
          a.simhash AS sh_a, c.simhash AS sh_b
   FROM bandex a JOIN bandex c ON a.b = c.b AND a.key = c.key
                              AND a.doc_id < c.doc_id
+  JOIN bsz s ON s.b = a.b AND s.key = a.key
+  WHERE s.n <= {DP.SIMHASH_MAX_BUCKET} OR a.doc_id = s.rep
 )
 SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
 FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 6

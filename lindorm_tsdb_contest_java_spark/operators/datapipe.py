@@ -462,9 +462,13 @@ def simhash_band_plan(max_hamming: int, n_bands: int | None = None) -> tuple[int
     return n_bands, SIMHASH_BITS // n_bands
 
 
+SIMHASH_MAX_BUCKET = 256  # hot-band valve threshold (see simhash_near_pairs)
+
+
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                        max_hamming: int = 6, n_bands: int | None = None,
-                       backend: str = "kernel") -> DataFrame:
+                       backend: str = "kernel",
+                       max_bucket: int = SIMHASH_MAX_BUCKET) -> DataFrame:
     """SimHash near-dup pairs within a hamming radius, banded-LSH style:
     split the 48-bit simhash into n_bands fixed bit-bands; two docs within
     hamming <= n_bands - 1 of each other are guaranteed to share at least
@@ -472,8 +476,27 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     on (band, band_bits) — O(n), never all-pairs — and the exact popcount
     check runs only on same-bucket candidates. n_bands defaults to
     max_hamming + 1 rounded up to a divisor of 48, so the advertised
-    radius is actually exhaustive (ADVICE r02). All JVM expressions; SQL
-    twin in the driver oracle."""
+    radius is actually exhaustive (ADVICE r02).
+
+    `max_bucket` is the HOT-BAND VALVE (r04 verdict ask #2 — the
+    lsh_candidate_pairs star-pair pattern replayed): a boilerplate
+    cluster of k identical documents shares EVERY band, so each of its
+    band buckets would emit O(k^2) pairs — 10^5 identical docs is 10^10
+    join rows per band. Buckets above `max_bucket` members are reduced
+    to STAR PAIRS against the bucket's min-id representative — O(k)
+    pairs, hamming computed per row vs the window-provided rep simhash —
+    which preserves dedup-grouping connectivity (every member links to
+    the rep, so transitive closure sees the same clusters). The exact
+    radius guarantee for pairs NOT involving the rep weakens inside hot
+    buckets only; the SQL oracle mirrors the same cap.
+
+    Plan shape (same linear pipeline as lsh_candidate_pairs — the
+    previous self-join evaluated the whole simhash kernel chain once per
+    side): chain → window (size/rep over the same (band, key) exchange)
+    → one groupBy collecting small-bucket members and hot-star
+    (id, hamming) scalars side by side → one explode → id-only dedup."""
+    from pyspark.sql.window import Window
+
     n_bands, width = simhash_band_plan(max_hamming, n_bands)
     mask = (1 << width) - 1
     sh = df.select(F.col(id_col),
@@ -485,21 +508,59 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str = "text",
         for b in range(n_bands)])
     ex = (sh.select(id_col, "simhash", F.explode(bands).alias("bk"))
           .select(id_col, "simhash", "bk.band", "bk.key"))
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
-        a.join(b, on=["band", "key"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a.simhash").alias("sh_a"),
-                F.col("b.simhash").alias("sh_b"))
-        .distinct()
-        .withColumn("hamming",
-                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-                     .cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-    )
-    return pairs.select("id_a", "id_b", "hamming")
+    wo = (Window.partitionBy("band", "key").orderBy(id_col)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    sized = (ex.select(
+        F.col(id_col), "simhash", "band", "key",
+        F.count("*").over(wo).alias("_n"),
+        F.first(id_col).over(wo).alias("_rep"),
+        F.first("simhash").over(wo).alias("_rep_sh"))
+        # hot members popcount against the rep HERE, per row — a hot
+        # bucket collects only (id, hamming) scalars, never k^2 pairs
+        .withColumn("_hot_h", F.when(
+            (F.col("_n") > max_bucket) & (F.col(id_col) != F.col("_rep")),
+            F.bit_count(F.col("simhash").bitwiseXOR(F.col("_rep_sh")))
+             .cast("int"))))
+    buckets = (sized.groupBy("band", "key").agg(
+        F.any_value("_rep").alias("rep"),
+        F.collect_list(F.when(
+            F.col("_n") <= max_bucket,
+            F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh"))
+        )).alias("m"),
+        F.collect_list(F.when(
+            F.col("_hot_h").isNotNull(),
+            F.struct(F.col(id_col).alias("id"), F.col("_hot_h").alias("h"))
+        )).alias("hot")))
+    n = F.size("m")
+
+    def unify(x, y):
+        lo = F.when(x["id"] < y["id"], x).otherwise(y)
+        hi = F.when(x["id"] < y["id"], y).otherwise(x)
+        return F.struct(lo["id"].alias("id_a"), hi["id"].alias("id_b"),
+                        F.bit_count(x["sh"].bitwiseXOR(y["sh"]))
+                         .cast("int").alias("h"))
+
+    small_pairs = F.flatten(F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.transform(
+            F.sequence(i + 1, n - 1),
+            lambda j: unify(F.element_at("m", (i + 1).cast("int")),
+                            F.element_at("m", (j + 1).cast("int"))))))
+    hot_pairs = F.transform(
+        "hot",
+        lambda h: F.struct(F.col("rep").alias("id_a"), h["id"].alias("id_b"),
+                           h["h"].alias("h")))
+    # sequence(0, n-2) is DESCENDING for n < 2: guard with an empty array
+    # of the unified type (slice of the always-typed hot array)
+    all_pairs = F.concat(
+        F.when(n >= 2, small_pairs).otherwise(F.slice(hot_pairs, 1, 0)),
+        hot_pairs)
+    cand = (buckets.select(F.explode(all_pairs).alias("p")).select("p.*")
+            .filter(F.col("h") <= max_hamming))
+    # every occurrence of a pair carries the same popcount of the same
+    # two simhashes, so any_value is exact
+    return (cand.groupBy("id_a", "id_b")
+            .agg(F.any_value("h").alias("hamming")))
 
 
 # ---------- similarity search ----------

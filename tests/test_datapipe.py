@@ -376,3 +376,35 @@ def test_ivf_kernel_is_shuffle_free(vecs):
     # TakeOrdered's final gather is not an Exchange node; assignment+filter
     # must add none
     assert facts(out).n_shuffles == 0, facts(out).plan
+
+
+def test_simhash_hot_band_valve_star_pairs(spark):
+    """r04 verdict ask #2: a boilerplate cluster shares EVERY simhash
+    band — each band bucket would emit O(k^2) pairs. With the valve,
+    oversized buckets reduce to star pairs against the min-id
+    representative; disjoint small pairs are unaffected."""
+    n_hot = 500
+    rows = [(i, "identical boilerplate text repeated everywhere always")
+            for i in range(n_hot)]
+    rows += [(5000, "a genuinely different document about spark and arrow"),
+             (5001, "a genuinely different document about spark and arrow")]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    pairs = DP.simhash_near_pairs(docs, "doc_id", max_hamming=6,
+                                  max_bucket=64).toPandas()
+    hot = pairs[pairs["id_b"] < 5000]
+    assert len(hot) == n_hot - 1
+    assert (hot["id_a"] == 0).all()
+    assert (hot["hamming"] == 0).all()
+    assert set(hot["id_b"]) == set(range(1, n_hot))
+    small = pairs[pairs["id_a"] == 5000]
+    assert len(small) == 1 and small.iloc[0]["id_b"] == 5001
+
+
+def test_simhash_cap_no_effect_below_threshold(docs):
+    """On a corpus whose band buckets are all under the cap, the valve is
+    a no-op: capped and effectively-uncapped runs emit identical pairs."""
+    capped = DP.simhash_near_pairs(docs, "doc_id", max_bucket=64) \
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    uncapped = DP.simhash_near_pairs(docs, "doc_id", max_bucket=10**9) \
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(capped, uncapped)
