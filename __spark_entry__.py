@@ -1027,10 +1027,17 @@ buck AS (
          CAST(SUM(CASE WHEN list_inner_product(e.v, planes.plane) >= 0
                        THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
   FROM e, planes GROUP BY e.vec_id, e.v
+),
+bsz AS (
+  SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS rep FROM buck GROUP BY bucket
 )
+-- hot-bucket valve mirror: oversized buckets reduce to star pairs
+-- against the min-id representative (a.vec_id = rep), matching Spark
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
 FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+JOIN bsz s ON s.bucket = a.bucket
+WHERE s.n <= """ + str(DP.EMBEDDING_MAX_BUCKET) + """ OR a.vec_id = s.rep
 ORDER BY list_cosine_similarity(a.v, b.v) DESC, a.vec_id, b.vec_id
 LIMIT 20
 """,

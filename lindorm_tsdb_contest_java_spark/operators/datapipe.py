@@ -601,15 +601,21 @@ def _cosine_kernel(qvec: list[float]):
 def _pair_cosine_kernel():
     """Row-wise cosine between two vector columns (the pair-join path).
     Built lazily: a module-level pandas_udf would need an active session
-    at import time."""
+    at import time. Null-safe: rows where either side is null (the
+    hot-star pairs of embedding_lsh_pairs carry a precomputed cosine and
+    null vectors) return null, matching the expression backend."""
 
     @F.pandas_udf("double")
     def udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma, mb = _vstack(a), _vstack(b)
-        dots = np.einsum("ij,ij->i", ma, mb)
-        na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
-        nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
-        return pd.Series(dots / (na * nb))
+        mask = a.notna() & b.notna()
+        out = np.full(len(a), np.nan)
+        if mask.any():
+            ma, mb = _vstack(a[mask]), _vstack(b[mask])
+            dots = np.einsum("ij,ij->i", ma, mb)
+            na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+            nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+            out[mask.to_numpy()] = dots / (na * nb)
+        return pd.Series(out)
 
     return udf
 
@@ -716,33 +722,99 @@ def _pair_cosine(a_v: Column, b_v: Column, backend: str) -> Column:
     return dot / (norm(a_v) * norm(b_v))
 
 
+EMBEDDING_MAX_BUCKET = 256  # hot-bucket valve threshold (embedding_lsh_pairs)
+
+
 def embedding_lsh_pairs(df: DataFrame, dim: int, id_col: str = "vec_id",
                         vec_col: str = "embedding", k: int = 20,
-                        n_planes: int = 6,
-                        backend: str = "kernel") -> DataFrame:
+                        n_planes: int = 6, backend: str = "kernel",
+                        max_bucket: int = EMBEDDING_MAX_BUCKET) -> DataFrame:
     """Embedding near-dup pairs, LSH-bucketed — the SCALE path for pair
     discovery (embedding_top_pairs is the exact bounded baseline): vectors
-    are sign-bucketed by md5-derived hyperplanes and the cosine self-join
-    runs within buckets only, cutting the cross product by ~2^n_planes.
+    are sign-bucketed by md5-derived hyperplanes and pairs are generated
+    within buckets only, cutting the cross product by ~2^n_planes.
     Recall < 1 by construction (near-dups with near-zero plane margins can
     land in different buckets); at 10^9 vectors the bucket column is the
-    partition key, so each bucket's pair scan is partition-local."""
+    partition key, so each bucket's pair scan is partition-local.
+
+    `max_bucket` is the HOT-BUCKET VALVE (r04 verdict ask #3 — the
+    lsh_candidate_pairs star-pair pattern replayed): a cluster of k
+    near-identical vectors is ONE sign bucket, and a bucket self-join
+    would emit O(k^2) pair rows each carrying two dim-float arrays.
+    Buckets above `max_bucket` emit O(k) STAR PAIRS against the min-id
+    representative, cosine computed per row BEFORE any aggregation, so a
+    hot bucket only ever collects (id, cosine) scalars. Small buckets
+    keep exact all-pairs semantics; the SQL oracle mirrors the cap.
+
+    Plan shape: ONE linear pipeline (the old self-join evaluated the
+    bucket-assignment kernel chain once per side — the double-evaluation
+    problem lsh_candidate_pairs documents): chain → window (size/rep/
+    rep-vector over the bucket exchange) → one groupBy collecting
+    small-bucket (id, vector) members and hot (id, cosine) scalars →
+    one explode → cosine for small pairs computed on the exploded rows
+    → TakeOrdered top-k."""
+    from pyspark.sql.window import Window
+
     planes = [lsh_plane(p, dim) for p in range(n_planes)]
     vcol = F.col(vec_col).cast("array<double>")
     sub = df.select(F.col(id_col),
                     _bucket_expr(vcol, planes, backend).alias("bucket"),
                     vcol.alias("v"))
-    a, b = sub.alias("a"), sub.alias("b")
-    return (
-        a.join(b, on="bucket")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                _pair_cosine(F.col("a.v"), F.col("b.v"), backend)
-                .alias("cosine"))
-        .orderBy(F.col("cosine").desc(), "id_a", "id_b")
-        .limit(k)
-    )
+    wo = (Window.partitionBy("bucket").orderBy(id_col)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    sized = (sub.select(
+        F.col(id_col), "bucket", "v",
+        F.count("*").over(wo).alias("_n"),
+        F.first(id_col).over(wo).alias("_rep"),
+        F.first("v").over(wo).alias("_rep_v"))
+        # hot members cosine against the rep HERE, per row — their
+        # vectors never enter an aggregation buffer
+        .withColumn("_hot_cos", F.when(
+            (F.col("_n") > max_bucket) & (F.col(id_col) != F.col("_rep")),
+            _pair_cosine(F.col("v"), F.col("_rep_v"), backend))))
+    buckets = (sized.groupBy("bucket").agg(
+        F.any_value("_rep").alias("rep"),
+        F.collect_list(F.when(
+            F.col("_n") <= max_bucket,
+            F.struct(F.col(id_col).alias("id"), F.col("v").alias("v"))
+        )).alias("m"),
+        F.collect_list(F.when(
+            F.col("_hot_cos").isNotNull(),
+            F.struct(F.col(id_col).alias("id"), F.col("_hot_cos").alias("c"))
+        )).alias("hot")))
+    n = F.size("m")
+    null_v = F.lit(None).cast("array<double>")
+
+    def unify(x, y):
+        # vectors ride to the exploded rows; cosine for small pairs is
+        # computed AFTER the explode (kernel-batched there), not inside
+        # the interpreted array lambda
+        lo = F.when(x["id"] < y["id"], x).otherwise(y)
+        hi = F.when(x["id"] < y["id"], y).otherwise(x)
+        return F.struct(lo["id"].alias("id_a"), hi["id"].alias("id_b"),
+                        x["v"].alias("va"), y["v"].alias("vb"),
+                        F.lit(None).cast("double").alias("c"))
+
+    small_pairs = F.flatten(F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.transform(
+            F.sequence(i + 1, n - 1),
+            lambda j: unify(F.element_at("m", (i + 1).cast("int")),
+                            F.element_at("m", (j + 1).cast("int"))))))
+    hot_pairs = F.transform(
+        "hot",
+        lambda h: F.struct(F.col("rep").alias("id_a"), h["id"].alias("id_b"),
+                           null_v.alias("va"), null_v.alias("vb"),
+                           h["c"].alias("c")))
+    all_pairs = F.concat(
+        F.when(n >= 2, small_pairs).otherwise(F.slice(hot_pairs, 1, 0)),
+        hot_pairs)
+    cand = buckets.select(F.explode(all_pairs).alias("p")).select("p.*")
+    cosine = F.coalesce(F.col("c"),
+                        _pair_cosine(F.col("va"), F.col("vb"), backend))
+    return (cand.select("id_a", "id_b", cosine.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), "id_a", "id_b")
+            .limit(k))
 
 
 def ivf_centroids(df: DataFrame, id_col: str = "vec_id",

@@ -408,3 +408,40 @@ def test_simhash_cap_no_effect_below_threshold(docs):
     uncapped = DP.simhash_near_pairs(docs, "doc_id", max_bucket=10**9) \
         .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(capped, uncapped)
+
+
+def test_embedding_lsh_hot_bucket_valve(spark):
+    """r04 verdict ask #3: a cluster of identical vectors is ONE sign
+    bucket — the old self-join emitted O(k^2) pair rows each carrying
+    two full vectors. With the valve, the oversized bucket emits O(k)
+    star pairs against the min-id representative; a small disjoint pair
+    is unaffected."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    rows = [(i, base.tolist()) for i in range(300)]
+    other = rng.standard_normal(16)
+    rows += [(5000, other.tolist()), (5001, (other * 1.001).tolist())]
+    vecs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    pairs = DP.embedding_lsh_pairs(vecs, dim=16, k=400,
+                                   max_bucket=32).toPandas()
+    hot = pairs[pairs["id_b"] < 5000]
+    assert len(hot) == 299
+    assert (hot["id_a"] == 0).all()
+    assert np.allclose(hot["cosine"], 1.0)
+    small = pairs[pairs["id_a"] == 5000]
+    assert len(small) == 1 and small.iloc[0]["id_b"] == 5001
+    assert small.iloc[0]["cosine"] > 0.999
+
+
+def test_embedding_lsh_cap_no_effect_below_threshold(vecs):
+    """Buckets under the cap: capped and effectively-uncapped runs emit
+    identical top-k pairs, and both backends agree."""
+    for backend in ("kernel", "expr"):
+        capped = DP.embedding_lsh_pairs(
+            vecs, dim=32, k=20, backend=backend, max_bucket=64).toPandas()
+        uncapped = DP.embedding_lsh_pairs(
+            vecs, dim=32, k=20, backend=backend, max_bucket=10**9).toPandas()
+        assert list(capped["id_a"]) == list(uncapped["id_a"])
+        assert list(capped["id_b"]) == list(uncapped["id_b"])
+        assert np.allclose(capped["cosine"], uncapped["cosine"])
