@@ -222,3 +222,28 @@ def test_chunk_us_must_align_with_tier_grain(spark, tmp_path):
         RollupPipeline(spark, str(tmp_path / "badneg"), chunk_us=-60_000_000)
     # aligned widths (any multiple of a minute) still open fine
     RollupPipeline(spark, str(tmp_path / "ok2m"), chunk_us=120_000_000)
+
+
+def test_tier_files_are_conv_ordered(spark, transcripts_df, tmp_path):
+    """r04 verdict ask #4: tier files must come out sorted by their query
+    key (conv_id for conv/latest tiers, (role, tool) for rate tiers) so
+    parquet row-group stats prune single-key tier reads — the MapIndex
+    per-vin prune applied to the tier side."""
+    import pyarrow.parquet as pq
+    root = str(tmp_path / "tierorder")
+    RollupPipeline(spark, root, n_buckets=8, chunk_us=CHUNK_US).run(
+        spark.createDataFrame(transcripts_df.toPandas()), input_snapshot=1)
+    keys = {"tier_conv_1m": ["conv_id"], "tier_conv_1h": ["conv_id"],
+            "tier_conv_1d": ["conv_id"], "tier_latest": ["conv_id"],
+            "tier_rate_1m": ["role", "tool"],
+            "tier_rate_1h": ["role", "tool"], "tier_rate_1d": ["role", "tool"]}
+    for name, cols in keys.items():
+        tbl = SnapshotTable.load(os.path.join(root, name))
+        checked = 0
+        for f in tbl.current().files:
+            t = pq.read_table(os.path.join(tbl.data_dir, f["path"]),
+                              columns=cols)
+            rows = list(zip(*[t[c].to_pylist() for c in cols]))
+            assert rows == sorted(rows), (name, f["path"])
+            checked += 1
+        assert checked > 0, name

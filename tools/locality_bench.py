@@ -96,6 +96,49 @@ def main() -> None:
     wall_pruned, n1 = best_of(pruned_query)
     wall_bucket, n2 = best_of(bucket_only_query)
     assert n1 == n2, (n1, n2)
+
+    # ---- tier-read locality (r04 verdict ask #4): conv-sorted tier files
+    # let parquet row-group stats prune a single-conv tier scan; measure
+    # the rows a reader MUST touch (row groups whose conv_id [min,max]
+    # covers the conv) sorted vs unsorted, from the parquet footers.
+    import pyarrow.parquet as pq
+
+    from lindorm_tsdb_contest_java_spark.operators.tiers import build_conv_tier
+
+    canon = canonicalize(spark.read.parquet(tpath),
+                         n_buckets=N_BUCKETS, chunk_us=CHUNK_US)
+    tier = build_conv_tier(canon)
+    tier_sorted = os.path.join(REPO, ".bench_cache", f"loctier_s_{turns}")
+    tier_unsorted = os.path.join(REPO, ".bench_cache", f"loctier_u_{turns}")
+    # small row groups so the footer-stat granularity is visible at bench
+    # scale — a real deployment's file:row-group ratio (~1 GB files of
+    # 128 MB groups) is what the 128 KB groups emulate here
+    wopt = {"parquet.block.size": 128 << 10}
+    if not os.path.exists(tier_sorted):
+        (tier.repartition(cpus).sortWithinPartitions("conv_id")
+         .write.options(**wopt).parquet(tier_sorted))
+    if not os.path.exists(tier_unsorted):
+        tier.repartition(cpus).write.options(**wopt).parquet(tier_unsorted)
+
+    def tier_rows_must_read(path: str) -> tuple[int, int]:
+        must, total = 0, 0
+        for fname in os.listdir(path):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, fname)).metadata
+            ci = next(i for i in range(md.num_columns)
+                      if md.row_group(0).column(i).path_in_schema == "conv_id")
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                st = rg.column(ci).statistics
+                total += rg.num_rows
+                if st is None or (st.min <= conv <= st.max):
+                    must += rg.num_rows
+        return must, total
+
+    tier_must_sorted, tier_total = tier_rows_must_read(tier_sorted)
+    tier_must_unsorted, _ = tier_rows_must_read(tier_unsorted)
+
     print(json.dumps({
         "turns": turns, "n_segments": n_segments, "n_buckets": N_BUCKETS,
         "result_rows": n1,
@@ -105,6 +148,11 @@ def main() -> None:
                         "decoded_rows": int(rows_bucket)},
         "decode_reduction": round(rows_bucket / max(rows_pruned, 1), 1),
         "speedup": round(wall_bucket / wall_pruned, 2),
+        "tier_rows_total": int(tier_total),
+        "tier_rows_read_sorted": int(tier_must_sorted),
+        "tier_rows_read_unsorted": int(tier_must_unsorted),
+        "tier_read_reduction": round(
+            tier_must_unsorted / max(tier_must_sorted, 1), 1),
     }))
     spark.stop()
 
