@@ -71,6 +71,30 @@ def bench_table(n_turns: int, n_files: int = 32) -> str:
     return path
 
 
+# Pinned box-weather control (r04 verdict ask #5): a CODE-INDEPENDENT
+# workload — JVM hash aggregate + a Python-worker pass, exercising the two
+# substrates every repo query runs on — timed inside the same session,
+# interleaved between the query sweeps. Its wall moves with co-tenant load
+# and CPU weather but NOT with repo changes, so BENCH_rN.json carries its
+# own control: box_factor = control_best / CONTROL_REF_S, and a reader
+# normalizes any absolute wall by it before comparing across rounds.
+# CONTROL_REF_S was measured on this box in a quiet window (best of 6,
+# local[32], 2026-08-17); re-pin it only if the hardware changes.
+CONTROL_REF_S = 3.0
+
+
+def control_workload(spark, cpus: int) -> float:
+    t0 = time.perf_counter()
+    (spark.range(0, 40_000_000)
+     .select(F.xxhash64("id").alias("h"))
+     .groupBy(F.pmod("h", F.lit(512)).alias("k"))
+     .agg(F.sum("h").alias("s")).count())
+    (spark.range(0, 2_000_000).repartition(cpus)
+     .mapInPandas(lambda it: (pdf[pdf["id"] % 3 == 0] for pdf in it),
+                  schema="id long").count())
+    return round(time.perf_counter() - t0, 3)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -132,6 +156,9 @@ def main():
     warm = canonicalize(raw, n_buckets=n_buckets, chunk_us=chunk_us)
     encode_segments(warm).write.mode("overwrite").parquet(seg_path)
 
+    control_walls = [control_workload(spark, cpus)
+                     for _ in range(2)]  # warm the control's own JIT too
+
     def _rollup_encode():
         with timed("rollup_encode"):
             canon = canonicalize(raw, n_buckets=n_buckets, chunk_us=chunk_us)
@@ -163,6 +190,8 @@ def main():
             decode_segments(segments, ["conv_id", "ts_us", "text_len", "latency_s"]) \
                 .agg(F.sum("text_len"), F.sum("latency_s")).collect()
     run(_decode_scan)
+
+    control_walls.append(control_workload(spark, cpus))  # mid-sweep sample
 
     hot = "conv-00000000"
     lb = 1_704_067_200_000
@@ -228,6 +257,18 @@ def main():
             cosine_topk(emb.filter(F.col("vec_id") > 0), qvec, k=10).collect()
     run(_ann)
 
+    control_walls.append(control_workload(spark, cpus))  # end-of-sweep sample
+    control_best = min(control_walls[1:])  # drop the JIT-warming first run
+
+    # deep-storage profile (UNTIMED, not in any wall figure): bytes/turn
+    # after the optimize_storage pass (text zstd level 12, the LSM
+    # bottommost-compression profile). Ingest stays at the fast default;
+    # this records what the store costs once deep-compacted.
+    deep = encode_segments(
+        canonicalize(raw, n_buckets=n_buckets, chunk_us=chunk_us),
+        text_level=12)
+    deep_bytes = deep.agg(F.sum("encoded_bytes")).collect()[0][0]
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "rollup_encode+tiers+queries wall",
@@ -239,8 +280,19 @@ def main():
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / timings["rollup_encode"], 1),
         "bytes_per_turn": round(enc_bytes / n_turns, 2),
+        "bytes_per_turn_deep": round(deep_bytes / n_turns, 2),
+        "deep_text_level": 12,
         "raw_bytes_per_turn": round(raw_bytes / n_turns, 2),
         "compression_ratio": round(raw_bytes / enc_bytes, 2),
+        # box-weather control: code-independent workload timed in-session;
+        # normalize absolute walls by box_factor before cross-round reads
+        "control": {"walls_s": control_walls,
+                    "best_s": control_best,
+                    "reference_s": CONTROL_REF_S,
+                    # the reference was pinned at local[32]; the factor is
+                    # only meaningful at the standard driver config
+                    "box_factor": (round(control_best / CONTROL_REF_S, 3)
+                                   if cpus == 32 else None)},
     }))
     spark.stop()
 

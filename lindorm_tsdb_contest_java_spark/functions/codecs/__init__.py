@@ -40,7 +40,12 @@ sequential fallback reader for foreign streams).
 #      text_len column — data-only for pure-ASCII blocks, else varint
 #      (byte_len - char_len) continuation-byte deltas — so the per-row
 #      lengths are stored once per segment instead of twice
-CODEC_VERSION = 8
+#  v9: int codec gains MODE_PACK: fixed-width PFOR packing of the
+#      (gcd-reduced) delta/dod zigzag stream with a patched exception
+#      list (the reference's Simple-8b word packing, Simple8.java:56-215),
+#      adopted per block only when the final blob is shorter than the
+#      zstd'd varint winner
+CODEC_VERSION = 9
 
 from .varint import (
     zigzag_encode, zigzag_decode, varint_encode, varint_decode, varint_size,

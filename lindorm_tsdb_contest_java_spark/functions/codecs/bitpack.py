@@ -55,3 +55,30 @@ def unpack_codes(buf: bytes, n: int, width: int) -> np.ndarray:
     for i in range(per):
         out[i::per] = (b >> np.uint8(i * width)) & mask
     return out[:n].astype(np.int64)
+
+
+def pack_words(vals: np.ndarray, width: int) -> bytes:
+    """uint64 values < 2^width -> a dense little-endian bitstream of
+    `width` bits per value (the Simple8/PFOR word layout,
+    `compress/Simple8.java:56-215` capability analog). Pure numpy:
+    unpackbits over the LE byte view, truncate each value's bit row to
+    `width`, re-pack the concatenation."""
+    if width < 1 or width > 64:
+        raise ValueError(f"width {width} out of range")
+    v = np.ascontiguousarray(vals, dtype="<u8")
+    if v.size == 0:
+        return b""
+    bits = np.unpackbits(v.view(np.uint8).reshape(-1, 8), axis=1,
+                         bitorder="little")[:, :width]
+    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def unpack_words(buf: bytes, n: int, width: int) -> np.ndarray:
+    """Inverse of pack_words: n uint64 values of `width` bits each."""
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8),
+                         bitorder="little")[: n * width].reshape(n, width)
+    rows = np.zeros((n, 64), dtype=np.uint8)
+    rows[:, :width] = bits
+    return np.packbits(rows, axis=1, bitorder="little").view("<u8").ravel()

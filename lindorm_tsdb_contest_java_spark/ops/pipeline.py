@@ -187,6 +187,12 @@ class RollupPipeline:
     # overwrites missing the old partitions).
     n_buckets: int | None = None
     chunk_us: int | None = None  # time-chunk width (us)
+    # zstd level for the text stream, stamped like the routing params.
+    # Default 3 = ingest-optimized (the reference's zstd-3 envelope);
+    # engine.optimize_storage restamps it and rewrites — the LSM
+    # bottommost-compression pass. Salted into the chunk fingerprints so
+    # a level change re-encodes every chunk exactly once (resumable).
+    text_level: int | None = None
     commit_batch_chunks: int | None = None  # chunks per commit; None = all in one
     fail_after_chunks: int | None = None  # test hook: simulate mid-run crash
     tiers: dict = field(default_factory=lambda: {"1h": HOUR_MS, "1d": DAY_MS})
@@ -237,16 +243,44 @@ class RollupPipeline:
             self.n_buckets = int(stamped["n_buckets"])
             self.chunk_us = int(stamped["chunk_us"])
             _validate_chunk_us(self.chunk_us)
+            # pre-text_level stores read as level 3 (their build default);
+            # an explicit different value here would silently rewrite the
+            # whole store on the next flush (level-salted fingerprints) —
+            # that is restamp_text_level's explicit job
+            want_lvl = int(stamped.get("text_level", 3))
+            if self.text_level is not None and int(self.text_level) != want_lvl:
+                raise ValueError(
+                    f"store at {self.root} is stamped text_level={want_lvl} "
+                    f"but was opened with text_level={self.text_level}: a "
+                    "mismatched level would re-encode every chunk on the "
+                    "next flush. Omit the parameter to adopt the stamp, or "
+                    "recompress explicitly via engine.optimize_storage().")
+            self.text_level = want_lvl
             return
         self.n_buckets = 16 if self.n_buckets is None else int(self.n_buckets)
         self.chunk_us = (DEFAULT_CHUNK_US if self.chunk_us is None
                          else int(self.chunk_us))
+        self.text_level = 3 if self.text_level is None else int(self.text_level)
         _validate_chunk_us(self.chunk_us)
+        self._write_store_config()
+
+    def _write_store_config(self) -> None:
+        path = os.path.join(self.root, "store_config.json")
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"n_buckets": self.n_buckets,
-                       "chunk_us": self.chunk_us}, f)
+                       "chunk_us": self.chunk_us,
+                       "text_level": self.text_level}, f)
         os.replace(tmp, path)
+
+    def restamp_text_level(self, text_level: int) -> None:
+        """Change the store's stamped text compression level (the
+        deep-recompression entry point, engine.optimize_storage): the
+        level-salted fingerprints then treat every chunk as stale, so
+        the next run re-encodes the whole store at the new level — and
+        later opens adopt it."""
+        self.text_level = int(text_level)
+        self._write_store_config()
 
     def _check_codec_stamp(self) -> None:
         """Refuse to open a store whose blobs predate this codec wire
@@ -335,10 +369,13 @@ class RollupPipeline:
              .alias("h"),  # decimal sum: immune to ANSI long overflow
         ).collect())
         # fingerprint = content (count + ts bounds + key hash-sum) PLUS the
-        # codec wire version: a codec format bump invalidates every chunk,
-        # so stale blobs are re-encoded, never misparsed (ADVICE r02)
+        # codec wire version (a format bump invalidates every chunk, so
+        # stale blobs are re-encoded, never misparsed — ADVICE r02) PLUS
+        # the stamped text level (restamp_text_level then re-encodes the
+        # whole store exactly once, resumably)
         fingerprints = {int(r["time_chunk"]):
-                        f'v{CODEC_VERSION}:{r["n"]}:{r["mx"]}:{r["h"]}'
+                        f'v{CODEC_VERSION}:L{self.text_level}'
+                        f':{r["n"]}:{r["mx"]}:{r["h"]}'
                         for r in fp_rows}
         chunks = sorted(fingerprints)
         done = self.checkpoint.done_chunks("rollup", input_snapshot)
@@ -388,7 +425,8 @@ class RollupPipeline:
         t0 = time.perf_counter()
         touched = [int(c) for c in touched]
         l0 = self.table("segments_l0")
-        enc = encode_segments(batch_canon).cache()
+        enc = encode_segments(batch_canon,
+                              text_level=self.text_level).cache()
         try:
             agg = enc.agg(F.sum("n_rows"), F.sum("encoded_bytes")).collect()[0]
             rows, enc_bytes = int(agg[0] or 0), int(agg[1] or 0)
@@ -595,7 +633,8 @@ class RollupPipeline:
         # sort_within: bucket-ordered row groups inside every chunk file,
         # so bucket-scoped reads prune to contiguous row groups
         snap = seg_table.overwrite_partitions_multi(
-            encode_segments(part), "time_chunk", [int(c) for c in batch],
+            encode_segments(part, text_level=self.text_level),
+            "time_chunk", [int(c) for c in batch],
             meta={"codec_version": CODEC_VERSION},
             sort_within=["conv_bucket"])
         new_files = {}  # chunk -> [file names] written by THIS commit

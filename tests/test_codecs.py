@@ -424,13 +424,20 @@ def test_int_gcd_mode_roundtrip_and_wins_on_ms_grid():
     from lindorm_tsdb_contest_java_spark.functions.codecs import (
         int_decode, int_encode,
     )
+    import struct
     from lindorm_tsdb_contest_java_spark.functions.codecs.dod import (
-        MODE_DELTA_GCD, MODE_DOD_GCD,
+        MODE_DELTA_GCD, MODE_DOD_GCD, MODE_PACK,
     )
     rng = np.random.default_rng(6)
     ts = np.cumsum(rng.integers(1, 60_000, size=4000) * 1000).astype(np.int64)
     blob = int_encode(ts)
-    assert blob[0] in (MODE_DELTA_GCD, MODE_DOD_GCD), blob[0]
+    # the /1000 trick must fire: either a GCD varint mode, or the PFOR
+    # pack mode carrying gcd=1000 in its header (v9: the pack mode wins
+    # on this stream — fixed 16-bit words beat 3-byte varints)
+    assert blob[0] in (MODE_DELTA_GCD, MODE_DOD_GCD, MODE_PACK), blob[0]
+    if blob[0] == MODE_PACK:
+        (g,) = struct.unpack_from("<q", blob, 17)
+        assert g == 1000, g
     assert (int_decode(blob) == ts).all()
     # and it actually saves vs a forced non-gcd encode of the same data
     noisy = ts + rng.integers(0, 2, size=4000)  # breaks the gcd
@@ -513,3 +520,44 @@ def test_text_extlen_delta_mode_non_ascii():
     import pytest
     with pytest.raises(ValueError, match="frame"):
         text_decode_arrow(blob, lengths=char_lens + 1)
+
+
+def test_int_pack_mode_roundtrip_with_exceptions():
+    """PFOR pack mode (v9): near-entropy delta streams with outliers —
+    the fixed width covers the bulk, varint exceptions patch the tail,
+    and the round-trip is exact."""
+    import numpy as np
+    from lindorm_tsdb_contest_java_spark.functions.codecs import (
+        int_decode, int_encode,
+    )
+    from lindorm_tsdb_contest_java_spark.functions.codecs.dod import MODE_PACK
+    rng = np.random.default_rng(9)
+    gaps = rng.integers(1, 60_000, size=4096).astype(np.int64)
+    gaps[rng.integers(0, 4096, 40)] = rng.integers(
+        10**7, 10**10, 40)  # outliers -> exception list
+    ts = np.cumsum(gaps * 1000)
+    blob = int_encode(ts)
+    assert blob[0] == MODE_PACK, blob[0]
+    assert (int_decode(blob) == ts).all()
+    # the pack blob must actually beat the varint modes it displaced
+    # (selection is by final blob length, so this is true by construction;
+    # pin it anyway against selection regressions)
+    import lindorm_tsdb_contest_java_spark.functions.codecs.dod as dod
+    orig = dod._pfor_blob
+    try:
+        dod._pfor_blob = lambda zz, first, g, kind: b"\x06" + b"x" * 10**6
+        assert len(blob) < len(int_encode(ts))
+    finally:
+        dod._pfor_blob = orig
+
+
+def test_int_pack_mode_extremes():
+    import numpy as np
+    from lindorm_tsdb_contest_java_spark.functions.codecs import (
+        int_decode, int_encode,
+    )
+    lo, hi = np.iinfo(np.int64).min, np.iinfo(np.int64).max
+    for v in ([0, lo, hi, 0, lo // 2, hi // 2],
+              [hi, lo, hi, lo], [7] * 500, list(range(0, 5000, 7))):
+        arr = np.array(v, dtype=np.int64)
+        assert (int_decode(int_encode(arr)) == arr).all(), v

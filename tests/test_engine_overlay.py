@@ -195,3 +195,41 @@ def test_percentile_routes_through_coarsest_tier(spark, tmp_path):
             at_or_below = (lat <= r[col]).mean()
             assert below <= q + 0.02 and at_or_below >= q - 0.02, \
                 (role, tool, col, below, at_or_below)
+
+
+def test_optimize_storage_deep_recompression(spark, tmp_path):
+    """The LSM bottommost-compression pass: optimize_storage restamps the
+    text level and rewrites the store smaller; every query answer is
+    unchanged; a reopen adopts the stamped level; a later flush does NOT
+    rewrite untouched chunks back."""
+    root = str(tmp_path / "opt")
+    e = eng.connect(spark, root, n_buckets=4)
+    e.write(spark.createDataFrame(_rows(range(8), range(0, 8))))
+    e.shutdown()
+    before_bytes = e._segments.read(spark).agg(
+        F.sum("encoded_bytes")).collect()[0][0]
+    want = _answers(e, "ov-003")
+
+    m = e.optimize_storage(text_level=12)
+    assert m["chunks_run"] == m["chunks_total"] > 0, m
+    after_bytes = e._segments.read(spark).agg(
+        F.sum("encoded_bytes")).collect()[0][0]
+    assert after_bytes < before_bytes, (before_bytes, after_bytes)
+    assert _answers(e, "ov-003") == want
+
+    # reopen adopts the stamp; an idempotent re-run rewrites nothing
+    e2 = eng.connect(spark, root, n_buckets=4)
+    assert e2._pipeline.text_level == 12
+    m2 = e2.optimize_storage(text_level=12)
+    assert m2["chunks_run"] == 0, m2
+    # a later ordinary flush keeps the stamped level for its chunks and
+    # leaves the rest alone (no silent store-wide rewrite)
+    seg_snap = e2._segments.current().snapshot_id
+    e2.write(spark.createDataFrame(_rows(range(8), range(8, 10))))
+    e2.shutdown()
+    assert _answers(e2, "ov-003")["latest_all"] != want["latest_all"]
+    assert e2._segments.current().snapshot_id == seg_snap + 1
+    # explicit conflicting level at open is refused (restamp is explicit)
+    with pytest.raises(ValueError, match="text_level"):
+        from lindorm_tsdb_contest_java_spark.ops.pipeline import RollupPipeline
+        RollupPipeline(spark, root, text_level=3)
