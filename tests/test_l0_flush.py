@@ -299,3 +299,32 @@ def test_compact_crash_between_commits_heals_at_connect(spark, tmp_path):
     assert _queries(a2, lb, ub) == _queries(b, lb, ub)
     got = a2.execute_time_range_query("l0-001", lb, ub, ["turn_idx"])
     assert got.count() == 8, "duplicated rows survived the heal"
+
+
+def test_l0_soak_bounded_fan_in(spark, tmp_path):
+    """Soak-lite (the 100-batch curve lives in tools/l0_soak.py): a long
+    forward-append stream with periodic compaction must keep the delta
+    store BOUNDED — l0 file count saw-tooths back to zero every
+    compact_every batches instead of growing with stream length — and
+    answers must match a rewrite twin at the end."""
+    n_batches, every = 18, 6
+    a = eng.connect(spark, str(tmp_path / "soak"), n_buckets=4,
+                    l0_append=True)
+    b = eng.connect(spark, str(tmp_path / "soaktwin"), n_buckets=4)
+    max_l0 = 0
+    for i in range(n_batches):
+        batch = _rows(range(8), range(i * 3, (i + 1) * 3))
+        for e in (a, b):
+            e.write(spark.createDataFrame(batch))
+            e.shutdown(cascade=False)
+        if (i + 1) % every == 0:
+            a.compact(cascade=False)
+            assert not a._segments_l0.current().files
+        max_l0 = max(max_l0, len(a._segments_l0.current().files))
+    for e in (a, b):
+        e.run_cascade()
+    # bounded: at most `every` flushes' worth of delta files ever live
+    assert max_l0 <= every * 4, max_l0
+    lb = BASE_S * 1000 - 60_000
+    ub = lb + 90 * 86_400_000
+    assert _queries(a, lb, ub) == _queries(b, lb, ub)
