@@ -130,6 +130,36 @@ def _q_time_range_committed(spark, sf_dir):
     return out.withColumn("turn_idx", F.col("turn_idx").cast("long"))
 
 
+def _q_time_range_overlay(spark, sf_dir):
+    """The memtable-OVERLAY read path end-to-end through the ENGINE
+    facade (r05 verdict ask #1): a real store is built under a scratch
+    root from the events BEFORE the split instant (committed via
+    shutdown); the rest stays BUFFERED un-flushed. The queried range
+    straddles the split, so execute_time_range_query must merge the
+    conv-zone-pruned committed decode with the buffer — and the answer
+    must be flush-state-independent: the oracle is the SAME plain SQL
+    as time_range_committed, over ALL events."""
+    import shutil
+    import tempfile
+
+    from lindorm_tsdb_contest_java_spark import engine as ENG
+
+    rows = events_to_transcripts(spark, sf_dir)
+    split_ms = JAN1_MS + 10 * 86_400_000
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_overlay_store")
+    shutil.rmtree(root, ignore_errors=True)
+    e = ENG.connect(spark, root, n_buckets=8)
+    e.write(rows.filter(F.unix_micros(F.col("ts").cast("timestamp"))
+                        < split_ms * 1000))
+    e.shutdown()
+    e.write(rows.filter(F.unix_micros(F.col("ts").cast("timestamp"))
+                        >= split_ms * 1000))  # buffered, never flushed
+    out = e.execute_time_range_query(
+        CONV, JAN1_MS + 4 * 86_400_000, JAN1_MS + 14 * 86_400_000,
+        ["conv_id", "turn_idx", "text", "ts_us"])
+    return out.withColumn("turn_idx", F.col("turn_idx").cast("long"))
+
+
 def _agg(column, agg, scale=None):
     """Aggregate driver query. For double averages, aggregate the exact
     integer twin column (latency_us) and apply the unit scale once at the
@@ -564,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup_latest": _q_point_lookup_latest,
         "time_range_scan": _q_time_range,
         "time_range_committed": _q_time_range_committed,
+        "time_range_overlay": _q_time_range_overlay,
         "agg_avg_int": _agg("text_len", "AVG"),
         "agg_max_int": _agg("text_len", "MAX"),
         "agg_avg_double": _agg("latency_us", "AVG", scale=1e6),
@@ -651,6 +682,14 @@ WHERE conv_id = '{CONV}' AND ts_us >= {(JAN1_MS + 4 * 86_400_000) * 1000}
         # the committed (segment-store) path answers the SAME question —
         # pruning/decode must be invisible in the result
         "time_range_committed": C + f"""
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text, ts_us
+FROM canonical
+WHERE conv_id = '{CONV}' AND ts_us >= {(JAN1_MS + 4 * 86_400_000) * 1000}
+  AND ts_us < {(JAN1_MS + 14 * 86_400_000) * 1000}
+""",
+        # flush-state independence: the overlay (committed ∪ buffered)
+        # answer must equal the SAME plain SQL over all events
+        "time_range_overlay": C + f"""
 SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text, ts_us
 FROM canonical
 WHERE conv_id = '{CONV}' AND ts_us >= {(JAN1_MS + 4 * 86_400_000) * 1000}
