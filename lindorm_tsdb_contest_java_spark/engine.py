@@ -281,16 +281,25 @@ class TranscriptTSDB:
         if not self._segments_l0.current().files:
             self._clear_compact_marker()  # tidy a stale marker
             return
+        self._rewrite_and_retire_l0(cascade)
+
+    def _rewrite_and_retire_l0(self, cascade: bool) -> dict:
+        """The shared compaction protocol (compact / optimize_storage):
+        inflight marker → full rewrite from the decoded store → retire
+        l0 → clear marker. ONE implementation so a change to the crash
+        protocol can never land on only one of the two paths."""
         self._set_compact_marker()
         full = self._decoded_input()
         self._set_ordered(False)
         m = self._pipeline.run(full, input_snapshot=0,
                                check_order=True, cascade=cascade)
         self._set_ordered(bool(m.get("per_conv_ordered")))
-        self._segments_l0.truncate(meta={"reason": "compacted"})
-        self._segments_l0.vacuum()
+        if self._segments_l0.current().files:
+            self._segments_l0.truncate(meta={"reason": "compacted"})
+            self._segments_l0.vacuum()
         self._clear_compact_marker()
         self._canon_cache = self._tier_cache = None
+        return m
 
     def _compact_marker_path(self) -> str:
         return os.path.join(self.root, "compact_state.json")
@@ -342,18 +351,7 @@ class TranscriptTSDB:
                 "optimize_storage rewrites the committed store: "
                 "shutdown() the buffered batch first")
         self._pipeline.restamp_text_level(int(text_level))
-        self._set_compact_marker()
-        full = self._decoded_input()
-        self._set_ordered(False)
-        m = self._pipeline.run(full, input_snapshot=0,
-                               check_order=True, cascade=cascade)
-        self._set_ordered(bool(m.get("per_conv_ordered")))
-        if self._segments_l0.current().files:
-            self._segments_l0.truncate(meta={"reason": "compacted"})
-            self._segments_l0.vacuum()
-        self._clear_compact_marker()
-        self._canon_cache = self._tier_cache = None
-        return m
+        return self._rewrite_and_retire_l0(cascade)
 
     def run_cascade(self) -> None:
         """Catch the 1h/1d coarse tiers up after deferred-cascade
@@ -573,8 +571,12 @@ class TranscriptTSDB:
         for more in parts[1:]:
             df = df.unionByName(more)
         # conv grain: query-serving canon wants balanced partitions, not
-        # the encode path's bucket-clustered exchange
-        canon = canonicalize(df, n_buckets=self.n_buckets, grain="conv")
+        # the encode path's bucket-clustered exchange. chunk_us must be
+        # the STAMPED width: the default would make memtable-path
+        # time_chunk values disagree with the committed store's on a
+        # custom-chunk store (flush-state-dependent results)
+        canon = canonicalize(df, n_buckets=self.n_buckets,
+                             chunk_us=self._pipeline.chunk_us, grain="conv")
         # engine-API dtype: text_len is BIGINT on the decoded-segment path,
         # so the memtable path matches (state-independent result schemas)
         self._canon_cache = canon.withColumn(
@@ -614,7 +616,10 @@ class TranscriptTSDB:
         df = parts[0]
         for more in parts[1:]:
             df = df.unionByName(more)
-        canon = canonicalize(df, n_buckets=self.n_buckets, grain="conv")
+        # stamped chunk_us, not the default: overlay time_chunk values
+        # must agree with the committed store's on custom-chunk stores
+        canon = canonicalize(df, n_buckets=self.n_buckets,
+                             chunk_us=self._pipeline.chunk_us, grain="conv")
         # engine-API dtype parity with the decoded-segment path (BIGINT)
         return canon.withColumn("text_len", F.col("text_len").cast("long"))
 

@@ -88,11 +88,26 @@ MODE_PACK = 6
 _PFOR_HDR = struct.Struct("<BBI")  # base kind (0=delta,1=dod), width, n_exc
 
 
-def _pfor_blob(zz: np.ndarray, first: int, g: int, kind: int) -> bytes:
+# MODE_PACK fixed framing bytes: mode + n + first + gcd + PFOR header +
+# three pack_sections length words
+_PFOR_FIXED = 1 + _HDR.size + 2 * _I64.size + _PFOR_HDR.size + 3 * 8
+
+
+def _pfor_blob(zz: np.ndarray, first: int, g: int, kind: int,
+               budget: int | None = None) -> bytes | None:
     """MODE_PACK blob for a zigzag stream: pick the fixed width w
     minimizing packed_base + exception bytes (exact suffix-sum scan over
     the 64 candidate widths), pack values < 2^w densely, and patch the
-    rest as (position-delta varints, value varints)."""
+    rest as (position-delta varints, value varints).
+
+    `budget` is the competing blob's length: when even the scan's
+    payload estimate plus fixed framing cannot beat it, return None
+    WITHOUT building the bitstream — the pack_words bit matrix is the
+    expensive part and most text-era streams lose to the zstd'd varint
+    winner (r05 review: don't pay 2x encode for losing candidates). The
+    estimate slightly undercounts (varint position deltas assumed 2 B),
+    so a marginal candidate is still built and the final byte-for-byte
+    comparison stays exact."""
     zzu = zz.astype(np.uint64)
     n = zzu.size
     srt = np.sort(zzu)
@@ -112,6 +127,8 @@ def _pfor_blob(zz: np.ndarray, first: int, g: int, kind: int) -> bytes:
         cost = (n * w + 7) // 8 + suffix_vb[idx] + 2 * n_exc
         if best_cost is None or cost < best_cost:
             best_cost, best_w = cost, w
+    if budget is not None and best_cost + _PFOR_FIXED >= budget:
+        return None
     w = best_w
     exc = (zzu >= (np.uint64(1) << np.uint64(w))) if w < 64 \
         else np.zeros(n, dtype=bool)
@@ -210,14 +227,21 @@ def int_encode(values: np.ndarray) -> bytes:
 
     # PFOR candidates over the (gcd-reduced) delta and dod streams,
     # adopted only when the FINAL blob is byte-for-byte shorter than the
-    # zstd'd varint winner above — the choice is exact, never a model
+    # zstd'd varint winner above — the choice is exact, never a model.
+    # The budget lets losing candidates bail after the cheap cost scan.
     first = int(v[0])
+    budget = len(blob)
     pack_d = _pfor_blob(zz_delta_g if g_delta > 1 else zz_delta,
-                        first, g_delta if g_delta > 1 else 1, 0)
+                        first, g_delta if g_delta > 1 else 1, 0,
+                        budget=budget)
+    if pack_d is not None and len(pack_d) < budget:
+        blob, budget = pack_d, len(pack_d)
     pack_o = _pfor_blob(zz_dod_g if g_dod > 1 else zz_dod,
-                        first, g_dod if g_dod > 1 else 1, 1)
-    best_pack = min((pack_d, pack_o), key=len)
-    return best_pack if len(best_pack) < len(blob) else blob
+                        first, g_dod if g_dod > 1 else 1, 1,
+                        budget=budget)
+    if pack_o is not None and len(pack_o) < budget:
+        blob = pack_o
+    return blob
 
 
 def int_decode(blob: bytes) -> np.ndarray:

@@ -743,16 +743,20 @@ def embedding_lsh_pairs(df: DataFrame, dim: int, id_col: str = "vec_id",
     would emit O(k^2) pair rows each carrying two dim-float arrays.
     Buckets above `max_bucket` emit O(k) STAR PAIRS against the min-id
     representative, cosine computed per row BEFORE any aggregation, so a
-    hot bucket only ever collects (id, cosine) scalars. Small buckets
-    keep exact all-pairs semantics; the SQL oracle mirrors the cap.
+    hot bucket's rows reach the pair stage as scalars with NULLED
+    vectors. Small buckets keep exact all-pairs semantics, their
+    pairwise cosines computed as ONE numpy gram matrix per bucket inside
+    applyInPandas — never a collected array of pair structs carrying two
+    vectors each (a 256-member dim-1536 bucket would otherwise
+    materialize ~800 MB in a single row; r05 review).
 
     Plan shape: ONE linear pipeline (the old self-join evaluated the
     bucket-assignment kernel chain once per side — the double-evaluation
     problem lsh_candidate_pairs documents): chain → window (size/rep/
-    rep-vector over the bucket exchange) → one groupBy collecting
-    small-bucket (id, vector) members and hot (id, cosine) scalars →
-    one explode → cosine for small pairs computed on the exploded rows
-    → TakeOrdered top-k."""
+    rep-vector over the bucket exchange) → per-row hot cosine + vector
+    nulling → groupBy(bucket).applyInPandas pair kernel (hot rows pass
+    their precomputed scalars through; small rows gram-matrix) →
+    TakeOrdered top-k."""
     from pyspark.sql.window import Window
 
     planes = [lsh_plane(p, dim) for p in range(n_planes)]
@@ -763,57 +767,46 @@ def embedding_lsh_pairs(df: DataFrame, dim: int, id_col: str = "vec_id",
     wo = (Window.partitionBy("bucket").orderBy(id_col)
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
     sized = (sub.select(
-        F.col(id_col), "bucket", "v",
+        F.col(id_col).alias("id"), "bucket", "v",
         F.count("*").over(wo).alias("_n"),
         F.first(id_col).over(wo).alias("_rep"),
         F.first("v").over(wo).alias("_rep_v"))
         # hot members cosine against the rep HERE, per row — their
-        # vectors never enter an aggregation buffer
+        # vectors never reach the pair stage
         .withColumn("_hot_cos", F.when(
-            (F.col("_n") > max_bucket) & (F.col(id_col) != F.col("_rep")),
-            _pair_cosine(F.col("v"), F.col("_rep_v"), backend))))
-    buckets = (sized.groupBy("bucket").agg(
-        F.any_value("_rep").alias("rep"),
-        F.collect_list(F.when(
-            F.col("_n") <= max_bucket,
-            F.struct(F.col(id_col).alias("id"), F.col("v").alias("v"))
-        )).alias("m"),
-        F.collect_list(F.when(
-            F.col("_hot_cos").isNotNull(),
-            F.struct(F.col(id_col).alias("id"), F.col("_hot_cos").alias("c"))
-        )).alias("hot")))
-    n = F.size("m")
-    null_v = F.lit(None).cast("array<double>")
+            (F.col("_n") > max_bucket) & (F.col("id") != F.col("_rep")),
+            _pair_cosine(F.col("v"), F.col("_rep_v"), backend)))
+        .select("bucket", "id",
+                F.when(F.col("_n") <= max_bucket, F.col("v")).alias("v"),
+                "_rep", "_hot_cos"))
+    idt = dict(df.dtypes)[id_col]
+    schema = f"id_a {idt}, id_b {idt}, cosine double"
 
-    def unify(x, y):
-        # vectors ride to the exploded rows; cosine for small pairs is
-        # computed AFTER the explode (kernel-batched there), not inside
-        # the interpreted array lambda
-        lo = F.when(x["id"] < y["id"], x).otherwise(y)
-        hi = F.when(x["id"] < y["id"], y).otherwise(x)
-        return F.struct(lo["id"].alias("id_a"), hi["id"].alias("id_b"),
-                        x["v"].alias("va"), y["v"].alias("vb"),
-                        F.lit(None).cast("double").alias("c"))
+    def pair_gen(key, pdf):
+        parts = []
+        hot = pdf[pdf["_hot_cos"].notna()]
+        if len(hot):
+            parts.append(pd.DataFrame({
+                "id_a": hot["_rep"].to_numpy(),
+                "id_b": hot["id"].to_numpy(),
+                "cosine": hot["_hot_cos"].to_numpy(np.float64)}))
+        small = pdf[pdf["v"].notna()].sort_values("id")
+        if len(small) >= 2:
+            m = _vstack(small["v"])
+            norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+            gram = (m @ m.T) / np.outer(norms, norms)
+            iu, ju = np.triu_indices(len(small), 1)
+            ids = small["id"].to_numpy()
+            parts.append(pd.DataFrame({
+                "id_a": ids[iu], "id_b": ids[ju], "cosine": gram[iu, ju]}))
+        if not parts:
+            return pd.DataFrame({"id_a": pd.Series(dtype=object),
+                                 "id_b": pd.Series(dtype=object),
+                                 "cosine": pd.Series(dtype=np.float64)})
+        return pd.concat(parts, ignore_index=True)
 
-    small_pairs = F.flatten(F.transform(
-        F.sequence(F.lit(0), n - 2),
-        lambda i: F.transform(
-            F.sequence(i + 1, n - 1),
-            lambda j: unify(F.element_at("m", (i + 1).cast("int")),
-                            F.element_at("m", (j + 1).cast("int"))))))
-    hot_pairs = F.transform(
-        "hot",
-        lambda h: F.struct(F.col("rep").alias("id_a"), h["id"].alias("id_b"),
-                           null_v.alias("va"), null_v.alias("vb"),
-                           h["c"].alias("c")))
-    all_pairs = F.concat(
-        F.when(n >= 2, small_pairs).otherwise(F.slice(hot_pairs, 1, 0)),
-        hot_pairs)
-    cand = buckets.select(F.explode(all_pairs).alias("p")).select("p.*")
-    cosine = F.coalesce(F.col("c"),
-                        _pair_cosine(F.col("va"), F.col("vb"), backend))
-    return (cand.select("id_a", "id_b", cosine.alias("cosine"))
-            .orderBy(F.col("cosine").desc(), "id_a", "id_b")
+    pairs = sized.groupBy("bucket").applyInPandas(pair_gen, schema)
+    return (pairs.orderBy(F.col("cosine").desc(), "id_a", "id_b")
             .limit(k))
 
 

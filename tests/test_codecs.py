@@ -545,7 +545,8 @@ def test_int_pack_mode_roundtrip_with_exceptions():
     import lindorm_tsdb_contest_java_spark.functions.codecs.dod as dod
     orig = dod._pfor_blob
     try:
-        dod._pfor_blob = lambda zz, first, g, kind: b"\x06" + b"x" * 10**6
+        dod._pfor_blob = \
+            lambda zz, first, g, kind, budget=None: b"\x06" + b"x" * 10**6
         assert len(blob) < len(int_encode(ts))
     finally:
         dod._pfor_blob = orig

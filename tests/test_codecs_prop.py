@@ -66,3 +66,16 @@ def test_float_codec_scaled_quotients_prop(us):
     a = np.array(us, dtype=np.int64) / 1e6
     back = float_decode(float_encode(a))
     assert (back.view(np.uint64) == a.view(np.uint64)).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**20), min_size=2,
+                max_size=300),
+       st.lists(st.integers(min_value=2**40, max_value=2**62), max_size=5))
+def test_int_pack_mode_roundtrip_prop(gaps, outliers):
+    """PFOR-shaped streams (small deltas + rare huge outliers — the shape
+    MODE_PACK wins on) round-trip bit-exactly, wherever the chooser
+    lands."""
+    vals = gaps + outliers
+    a = np.cumsum(np.array(vals, dtype=np.int64))
+    assert (int_decode(int_encode(a)) == a).all()

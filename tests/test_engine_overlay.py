@@ -233,3 +233,25 @@ def test_optimize_storage_deep_recompression(spark, tmp_path):
     with pytest.raises(ValueError, match="text_level"):
         from lindorm_tsdb_contest_java_spark.ops.pipeline import RollupPipeline
         RollupPipeline(spark, root, text_level=3)
+
+
+def test_overlay_time_chunk_matches_store_width(spark, tmp_path):
+    """Regression (r05 review): overlay and memtable reads must compute
+    time_chunk with the store's STAMPED chunk width, not the default —
+    a custom-chunk store returned flush-state-dependent time_chunk
+    values for identical rows."""
+    chunk_us = 12 * 3600 * 1_000_000  # 12h, not the 6h default
+    e = eng.connect(spark, str(tmp_path / "cw"), n_buckets=4,
+                    chunk_us=chunk_us)
+    e.write(spark.createDataFrame(_rows(range(4), range(0, 4))))
+    e.shutdown()
+    committed = {(r["turn_idx"], r["time_chunk"]) for r in
+                 e.execute_time_range_query(
+                     "ov-001", LB, UB, ["turn_idx", "time_chunk"]).collect()}
+    e.write(spark.createDataFrame(_rows(range(4), range(4, 6))))
+    buffered = {(r["turn_idx"], r["time_chunk"]) for r in
+                e.execute_time_range_query(
+                    "ov-001", LB, UB, ["turn_idx", "time_chunk"]).collect()}
+    assert committed <= buffered, (committed, buffered)
+    want_chunk = ((BASE_S + 1 * 11) * 10**6) // chunk_us
+    assert all(c == want_chunk for _, c in buffered), buffered
