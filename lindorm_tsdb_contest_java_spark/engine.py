@@ -921,7 +921,15 @@ class TranscriptTSDB:
         if self._committed():
             tier = self._rate_rows(lb_ms, ub_ms)
         else:
-            tier = build_rate_tier(self._canonical(), MINUTE_MS)
+            # buffered state: rate-tier OVERLAY when the buffer strictly
+            # extends its conversations (committed rows' latencies are
+            # then untouched) — committed tier rows ∪ the buffered rows'
+            # own tier, lag context from the latest tier. Only an
+            # ineligible buffer (upsert / out-of-order) pays the
+            # whole-store canonical rebuild.
+            tier = self._overlay_rate_tier()
+            if tier is None:
+                tier = build_rate_tier(self._canonical(), MINUTE_MS)
         out = tier_percentiles(tier, lb_ms, ub_ms, qs)
         if role is not None:
             out = out.filter(F.col("role") == role)
@@ -965,6 +973,42 @@ class TranscriptTSDB:
 
         cover(lb_ms, ub_ms, 0)
         return pieces
+
+    def _overlay_rate_tier(self) -> DataFrame | None:
+        """Buffered-state rate tier WITHOUT a whole-store decode: when
+        the un-flushed rows pass the strict-extension probe (the fast
+        flush's eligibility — no committed key superseded, committed
+        latencies untouched), the committed tier_rate_1m rows plus the
+        buffered rows' OWN rate tier are a complete decomposition: sums
+        add and t-digests merge per (role, tool, bucket) inside
+        tier_percentiles. Lag context for each buffered conversation's
+        first row comes from the latest tier (committed rows, excluded
+        from the new part — the _append_flush pattern). None when
+        ineligible; the caller falls back to the canonical rebuild."""
+        if not (self._segments.current().files
+                and self._tier_latest.current().files
+                and self._pipeline.table("tier_rate_1m").current().files):
+            return None
+        parts = self._buffer_parts(F.lit(True))
+        nr = self._conform(parts[0])
+        for more in parts[1:]:
+            nr = nr.unionByName(self._conform(more))
+        if self._fast_flush_chunks(nr) is None:
+            return None
+        context = (self._tier_latest.read(self.spark)
+                   .join(nr.select("conv_id").distinct(),
+                         "conv_id", "left_semi")
+                   .select(*_INPUT_COLUMNS))
+        canon = canonicalize(nr.unionByName(context),
+                             n_buckets=self.n_buckets,
+                             chunk_us=self._pipeline.chunk_us, grain="conv")
+        batch_canon = canon.join(
+            nr.select("conv_id", "turn_idx").distinct(),
+            ["conv_id", "turn_idx"], "left_semi")
+        committed = (self._pipeline.table("tier_rate_1m").read(self.spark)
+                     .select(*self._RATE_COLS))
+        return committed.unionByName(
+            build_rate_tier(batch_canon, MINUTE_MS).select(*self._RATE_COLS))
 
     def _rate_rows(self, lb_ms: int, ub_ms: int) -> DataFrame:
         """Committed rate-tier rows covering [lb, ub), coarsest-first

@@ -255,3 +255,45 @@ def test_overlay_time_chunk_matches_store_width(spark, tmp_path):
     assert committed <= buffered, (committed, buffered)
     want_chunk = ((BASE_S + 1 * 11) * 10**6) // chunk_us
     assert all(c == want_chunk for _, c in buffered), buffered
+
+
+def test_percentile_overlay_without_store_decode(spark, tmp_path):
+    """Buffered-state percentiles: a strictly-extending buffer uses the
+    rate-tier overlay (committed tier rows ∪ the buffer's own tier) —
+    the segment store is never decoded — and stays within the 2% rank
+    bound of the exact merged distribution. An upserting buffer is
+    ineligible and falls back (answers still exact-canonical)."""
+    import numpy as np
+    e = eng.connect(spark, str(tmp_path / "pov"), n_buckets=4)
+    e.write(spark.createDataFrame(_rows(range(6), range(0, 8))))
+    e.shutdown()
+    e.write(spark.createDataFrame(_rows(range(6), range(8, 12))))
+
+    tier = e._overlay_rate_tier()
+    assert tier is not None, "strictly-extending buffer must be eligible"
+    # the overlay plan never touches the segment store's decode path
+    plan = tier._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan, plan
+
+    got = {(r["role"], r["tool"]): r for r in
+           e.execute_percentile_query(LB, UB).collect()}
+    canon = e._canonical().toPandas()
+    scoped = canon[(canon["ts_us"] >= LB * 1000) & (canon["ts_us"] < UB * 1000)]
+    for (role, tool), grp in scoped.groupby(["role", "tool"]):
+        lat = grp["latency_s"].to_numpy()
+        r = got[(role, tool)]
+        assert r["n_turns"] == len(lat), (role, tool)
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            below = (lat < r[col]).mean()
+            at_or_below = (lat <= r[col]).mean()
+            assert below <= q + 0.02 and at_or_below >= q - 0.02, \
+                (role, tool, col)
+
+    # upsert buffer -> ineligible -> fallback path, counts still exact
+    ups = _rows(range(1, 2), range(3, 4), text="UPSERTED")
+    ups["ts"] = ups["ts"] + pd.Timedelta(days=40)
+    e.write(spark.createDataFrame(ups))
+    assert e._overlay_rate_tier() is None
+    total = sum(r["n_turns"] for r in
+                e.execute_percentile_query(LB, LB + 90 * 86_400_000).collect())
+    assert total == 6 * 12  # upsert replaces, never adds
