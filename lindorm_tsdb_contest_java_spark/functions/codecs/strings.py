@@ -4,7 +4,7 @@ Capability analogs of the reference's small-string dictionary path
 (`compress/StringCompress.java:129-250`: <=4 distinct values -> bit codes,
 else raw concat, zstd-3 envelope) and the big-string path
 (`file/TSFileService.java:662-667`: concat + zstd-3). Our dictionary is
-general-cardinality (pandas factorize -> varint codes) and the text stream
+general-cardinality (arrow dictionary_encode -> packed codes) and the text stream
 is varint lengths + concatenated UTF-8, both inside a zstd-3 envelope.
 
 Encoding uses pyarrow's string-array buffers to get offsets/data without
@@ -16,7 +16,6 @@ from __future__ import annotations
 import struct
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from .bitpack import pack_codes, unpack_codes, width_for
@@ -211,31 +210,22 @@ def dict_encode(values, level: int = 3, max_card_frac: float = 0.5) -> bytes:
     Accepts a pyarrow string array directly (arrow-native encode path:
     dictionary_encode happens without materializing Python strings).
     """
-    if isinstance(values, (pa.Array, pa.ChunkedArray)):
-        arr = values.combine_chunks() if isinstance(values, pa.ChunkedArray) else values
-        d = arr.dictionary_encode()
-        uniques_arr = d.dictionary
-        codes = d.indices.to_numpy(zero_copy_only=False)
-        n = len(codes)
-        if n > 0 and len(uniques_arr) > max(4, int(n * max_card_frac)):
-            return text_encode(arr, level)
-        lengths, data = _utf8_lengths_and_data(uniques_arr)
-        codes_b, pack_w = _encode_dict_codes(codes, len(uniques_arr))
-        payload = pack_sections(
-            varint_encode(np.asarray([len(uniques_arr), pack_w], dtype=np.uint64)),
-            varint_encode(lengths.astype(np.uint64)),
-            data,
-            codes_b,
-        )
-        return _HDR.pack(_MODE_DICT, n) + zstd_compress(payload, level)
-    codes, uniques = pd.factorize(pd.Series(values, dtype=object), sort=False)
+    if not isinstance(values, (pa.Array, pa.ChunkedArray)):
+        # Route Python lists / numpy arrays through Arrow: pandas' factorize
+        # hashtable collapses '\x00' with '' (C-string semantics), whereas
+        # arrow's dictionary_encode is byte-exact.
+        values = pa.array(list(values), type=pa.string())
+    arr = values.combine_chunks() if isinstance(values, pa.ChunkedArray) else values
+    d = arr.dictionary_encode()
+    uniques_arr = d.dictionary
+    codes = d.indices.to_numpy(zero_copy_only=False)
     n = len(codes)
-    if n > 0 and len(uniques) > max(4, int(n * max_card_frac)):
-        return text_encode(values, level)
-    lengths, data = _utf8_lengths_and_data(uniques.astype(object))
-    codes_b, pack_w = _encode_dict_codes(codes, len(uniques))
+    if n > 0 and len(uniques_arr) > max(4, int(n * max_card_frac)):
+        return text_encode(arr, level)
+    lengths, data = _utf8_lengths_and_data(uniques_arr)
+    codes_b, pack_w = _encode_dict_codes(codes, len(uniques_arr))
     payload = pack_sections(
-        varint_encode(np.asarray([len(uniques), pack_w], dtype=np.uint64)),
+        varint_encode(np.asarray([len(uniques_arr), pack_w], dtype=np.uint64)),
         varint_encode(lengths.astype(np.uint64)),
         data,
         codes_b,

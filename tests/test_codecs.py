@@ -144,6 +144,8 @@ STRING_CASES = [
     ["наши", "日本語テキスト", "emoji 🙂🙃", "", "plain ascii", "ñandú"] * 7,
     [f"unique-{i}" for i in range(500)],
     ["x" * 4000, "", "y" * 1, "多字节" * 500],
+    ["", "\x00"],  # NUL vs empty must stay distinct (r05 factorize bug)
+    ["\x00", "\x00\x00", "a\x00b", "", "a"] * 20,
 ]
 
 

@@ -3,7 +3,7 @@ arbitrary inputs bit-exactly — beyond the curated adversarial cases in
 test_codecs.py."""
 
 import numpy as np
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from lindorm_tsdb_contest_java_spark.functions.codecs import (
     dict_decode, dict_encode, dod_decode, dod_encode,
@@ -40,6 +40,7 @@ def test_gorilla_roundtrip_prop(xs):
 
 @settings(max_examples=100, deadline=None)
 @given(st.lists(st.text(max_size=40), max_size=120))
+@example(["", "\x00"])  # r05 judge counterexample: pandas factorize collapsed NUL with ''
 def test_text_and_dict_roundtrip_prop(vals):
     assert list(text_decode(text_encode(vals))) == vals
     assert list(dict_decode(dict_encode(vals))) == vals
