@@ -160,6 +160,47 @@ def _q_time_range_overlay(spark, sf_dir):
     return out.withColumn("turn_idx", F.col("turn_idx").cast("long"))
 
 
+def _q_time_range_l0(spark, sf_dir):
+    """The L0 DELTA-SEGMENT read path end-to-end through the ENGINE
+    facade (r05 verdict ask #2): a store is built with l0_append=True
+    from three forward-in-time batches, each committed via shutdown —
+    the first becomes the base layout, the next two APPEND encoded
+    delta segments to segments_l0 without rewriting the base
+    (ops/pipeline.py append_l0). The queried range straddles all three
+    batches, so the committed read must union base ∪ l0 — and the
+    answer must be flush-state-independent: the oracle is the SAME
+    plain SQL as time_range_committed, over ALL events. The function
+    self-gates that compaction has NOT happened (l0 files must exist),
+    so a silently-compacting regression fails the driver row."""
+    import shutil
+    import tempfile
+
+    from lindorm_tsdb_contest_java_spark import engine as ENG
+
+    rows = events_to_transcripts(spark, sf_dir)
+    ts_ms = F.unix_micros(F.col("ts").cast("timestamp")) / 1000
+    splits_ms = [JAN1_MS + 6 * 86_400_000, JAN1_MS + 10 * 86_400_000]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_l0_store")
+    shutil.rmtree(root, ignore_errors=True)
+    e = ENG.connect(spark, root, n_buckets=8, l0_append=True)
+    bounds = [None, *splits_ms, None]
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        batch = rows
+        if lo is not None:
+            batch = batch.filter(ts_ms >= lo)
+        if hi is not None:
+            batch = batch.filter(ts_ms < hi)
+        e.write(batch)
+        e.shutdown()
+    if not e._segments_l0.current().files:
+        raise AssertionError("l0 delta segments missing — the append "
+                             "flush silently compacted or rewrote base")
+    out = e.execute_time_range_query(
+        CONV, JAN1_MS + 4 * 86_400_000, JAN1_MS + 14 * 86_400_000,
+        ["conv_id", "turn_idx", "text", "ts_us"])
+    return out.withColumn("turn_idx", F.col("turn_idx").cast("long"))
+
+
 def _agg(column, agg, scale=None):
     """Aggregate driver query. For double averages, aggregate the exact
     integer twin column (latency_us) and apply the unit scale once at the
@@ -595,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_range_scan": _q_time_range,
         "time_range_committed": _q_time_range_committed,
         "time_range_overlay": _q_time_range_overlay,
+        "time_range_l0": _q_time_range_l0,
         "agg_avg_int": _agg("text_len", "AVG"),
         "agg_max_int": _agg("text_len", "MAX"),
         "agg_avg_double": _agg("latency_us", "AVG", scale=1e6),
@@ -690,6 +732,14 @@ WHERE conv_id = '{CONV}' AND ts_us >= {(JAN1_MS + 4 * 86_400_000) * 1000}
         # flush-state independence: the overlay (committed ∪ buffered)
         # answer must equal the SAME plain SQL over all events
         "time_range_overlay": C + f"""
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text, ts_us
+FROM canonical
+WHERE conv_id = '{CONV}' AND ts_us >= {(JAN1_MS + 4 * 86_400_000) * 1000}
+  AND ts_us < {(JAN1_MS + 14 * 86_400_000) * 1000}
+""",
+        # flush-state independence again, now for the L0 delta layout:
+        # base ∪ l0 must answer exactly like one monolithic store
+        "time_range_l0": C + f"""
 SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text, ts_us
 FROM canonical
 WHERE conv_id = '{CONV}' AND ts_us >= {(JAN1_MS + 4 * 86_400_000) * 1000}
