@@ -176,7 +176,8 @@ def minhash_oracle_list_sql(hs_col: str = "hs", n_hashes: int = 16) -> str:
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str, n_hashes: int = 16,
                         band_size: int = 4,
-                        max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+                        max_bucket: int = LSH_MAX_BUCKET,
+                        bucket_stats: str = "slim") -> DataFrame:
     """Band the signatures, groupBy band key, emit same-bucket pairs.
     One shuffle on band keys; the join explosion is bounded by bucket
     population (near-dups only), not n^2.
@@ -202,17 +203,21 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, n_hashes: int = 16,
     representative, so a transitive-closure keep/drop pass sees the
     same clusters).
 
-    Plan shape: the whole operator is ONE LINEAR pipeline — chain →
-    window (size/rep/rep-hs over the same (band, key) exchange the
-    collect reuses; the window buffer spills rather than OOM) → one
-    groupBy collecting small-bucket members and hot-bucket (id, j)
-    side by side → one explode of both pair kinds → id-only dedup.
-    No branch consumes the expensive signature chain twice (a
-    two-branch union form re-evaluated the ArrowEvalPython chain per
-    branch: AQE plans union children as independent stages and its
-    exchange reuse does not fire across them — measured 2x the chain
-    cost). The SQL oracle mirrors the same cap, so the semantic is
-    value-checked."""
+    Plan shape (`bucket_stats`, default "slim" since r06): the band
+    exchange carries (id, band, key) ONLY; pairs are generated and
+    id-deduped as bare (id_a, id_b) rows, and each side's shingle-hash
+    set joins back at the end to compute jaccard once per unique pair.
+    Column pruning means the hs-join sides never evaluate the minhash
+    UDF (hs is the pre-signature shingle-hash column), and the deduped
+    candidate side is usually small enough for AQE to broadcast — at
+    corpus scale the hash sets then never shuffle at all, vs riding the
+    x n_bands explode AND the bucket window sort in the older "window"
+    mode. Interleaved A/B (tools/minhash_ab.py, 50k docs): slim 2.74 s
+    vs window 4.39 s at local[8], 5.37 vs 6.97 at local[32]; the
+    verdict-suggested groupBy+join bucket stats lost every cell (its
+    join probe re-reads the fat rows the window form sorts). "window"
+    and "groupby_join" modes are kept for A/B. The SQL oracle mirrors
+    the same cap, so the capped semantic is value-checked."""
     import hashlib as _hl
     from pyspark.sql.window import Window
     n_bands = n_hashes // band_size
@@ -231,6 +236,68 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, n_hashes: int = 16,
         ) for b in range(n_bands)
     ])
     empty_key = _hl.md5(b"").hexdigest()
+    if bucket_stats == "slim":
+        # Slim-shuffle form (r06, from the r05 anti-scaling root-cause):
+        # profiling attributed the regression to the band exchange + the
+        # bucket window sorting FAT rows — every doc's full shingle-hash
+        # set rides the x n_bands explode (sized_window 11.3 s of a
+        # 15.3 s total at 50k docs / 32 cores; ids-only explode 3.4 s).
+        # Here the band exchange carries (id, band, key) ONLY; pairs are
+        # generated and id-deduped as bare (id_a, id_b) rows, and the
+        # hash sets join back ONCE PER SIDE at the end, so jaccard is
+        # computed exactly once per unique candidate pair. Cost trade:
+        # the signature chain evaluates three times (band, hs_a, hs_b) —
+        # linear, vectorized scan work — in exchange for shuffling each
+        # doc's hash set at most twice (vs n_bands times) and sorting
+        # only ~50-byte rows in the bucket window. Same valve, same
+        # output values as the other modes.
+        wo = (Window.partitionBy("band", "key").orderBy(id_col)
+              .rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+        sized = (df.select(F.col(id_col), F.explode(bands).alias("bk"))
+                 .select(id_col, "bk.band", "bk.key")
+                 .filter(F.col("key") != empty_key)
+                 .select(F.col(id_col), "band", "key",
+                         F.count("*").over(wo).alias("_n"),
+                         F.first(id_col).over(wo).alias("_rep")))
+        buckets = sized.groupBy("band", "key").agg(
+            F.any_value("_rep").alias("rep"),
+            F.collect_list(F.when(F.col("_n") <= max_bucket,
+                                  F.col(id_col))).alias("m"),
+            F.collect_list(F.when(
+                (F.col("_n") > max_bucket) & (F.col(id_col) != F.col("_rep")),
+                F.col(id_col))).alias("hot"))
+        n = F.size("m")
+        small_pairs = F.flatten(F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, n - 1),
+                lambda j: F.struct(
+                    F.least(F.element_at("m", (i + 1).cast("int")),
+                            F.element_at("m", (j + 1).cast("int"))
+                            ).alias("id_a"),
+                    F.greatest(F.element_at("m", (i + 1).cast("int")),
+                               F.element_at("m", (j + 1).cast("int"))
+                               ).alias("id_b")))))
+        # rep is the bucket min id, so it is always the id_a side
+        hot_pairs = F.transform(
+            "hot", lambda h: F.struct(F.col("rep").alias("id_a"),
+                                      h.alias("id_b")))
+        all_pairs = F.concat(
+            F.when(n >= 2, small_pairs).otherwise(F.slice(hot_pairs, 1, 0)),
+            hot_pairs)
+        cand = (buckets.select(F.explode(all_pairs).alias("p"))
+                .select("p.*").distinct())
+        hs_tbl = df.select(F.col(id_col), "hs")
+        side_a = hs_tbl.select(F.col(id_col).alias("id_a"),
+                               F.col("hs").alias("_ha"))
+        side_b = hs_tbl.select(F.col(id_col).alias("id_b"),
+                               F.col("hs").alias("_hb"))
+        return (cand.join(side_a, "id_a").join(side_b, "id_b")
+                .select("id_a", "id_b",
+                        (F.size(F.array_intersect("_ha", "_hb"))
+                         / F.size(F.array_union("_ha", "_hb"))
+                         ).alias("jaccard")))
     exploded = (df.select(F.col(id_col), "hs", F.explode(bands).alias("bk"))
                 .select(id_col, "hs", "bk.band", "bk.key")
                 .filter(F.col("key") != empty_key))
@@ -242,20 +309,35 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, n_hashes: int = 16,
     # aggregates are computed once per partition, and the partition
     # buffer spills), so the hot-bucket split costs no extra shuffle
     # and no extra upstream evaluation.
-    wo = (Window.partitionBy("band", "key").orderBy(id_col)
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
     hot_j = (F.size(F.array_intersect("hs", "_rep_hs"))
              / F.size(F.array_union("hs", "_rep_hs")))
-    sized = (exploded.select(
-        F.col(id_col), "hs", "band", "key",
-        F.count("*").over(wo).alias("_n"),
-        F.first(id_col).over(wo).alias("_rep"),
-        F.first("hs").over(wo).alias("_rep_hs"))
-        # hot members verify against the rep HERE, per row — their hash
-        # arrays never enter an aggregation buffer
-        .withColumn("_hot_j", F.when(
-            (F.col("_n") > max_bucket) & (F.col(id_col) != F.col("_rep")),
-            hot_j)))
+    if bucket_stats == "window":
+        wo = (Window.partitionBy("band", "key").orderBy(id_col)
+              .rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+        sized = exploded.select(
+            F.col(id_col), "hs", "band", "key",
+            F.count("*").over(wo).alias("_n"),
+            F.first(id_col).over(wo).alias("_rep"),
+            F.first("hs").over(wo).alias("_rep_hs"))
+    elif bucket_stats == "groupby_join":
+        # A/B alternative (r05 verdict ask #3): per-bucket stats via a
+        # plain groupBy, joined back on the same (band, key). Catalyst's
+        # ReuseExchange collapses the two identical child exchanges, so
+        # the upstream signature chain still evaluates once; the cost
+        # moved from a per-partition window SORT to a join probe.
+        stats = exploded.groupBy("band", "key").agg(
+            F.count("*").alias("_n"),
+            F.min(id_col).alias("_rep"),
+            F.min_by("hs", F.col(id_col)).alias("_rep_hs"))
+        sized = exploded.join(stats, ["band", "key"])
+    else:
+        raise ValueError(f"unknown bucket_stats mode {bucket_stats!r}")
+    # hot members verify against the rep HERE, per row — their hash
+    # arrays never enter an aggregation buffer
+    sized = sized.withColumn("_hot_j", F.when(
+        (F.col("_n") > max_bucket) & (F.col(id_col) != F.col("_rep")),
+        hot_j))
     buckets = (sized.groupBy("band", "key").agg(
         F.any_value("_rep").alias("rep"),
         # when() without otherwise -> null for the other kind; collect_list
