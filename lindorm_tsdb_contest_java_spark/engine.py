@@ -929,7 +929,7 @@ class TranscriptTSDB:
             # whole-store canonical rebuild.
             tier = self._overlay_rate_tier()
             if tier is None:
-                tier = build_rate_tier(self._canonical(), MINUTE_MS)
+                tier = self._scoped_rate_tier()
         out = tier_percentiles(tier, lb_ms, ub_ms, qs)
         if role is not None:
             out = out.filter(F.col("role") == role)
@@ -1009,6 +1009,84 @@ class TranscriptTSDB:
                      .select(*self._RATE_COLS))
         return committed.unionByName(
             build_rate_tier(batch_canon, MINUTE_MS).select(*self._RATE_COLS))
+
+    def _scoped_rate_tier(self) -> DataFrame:
+        """Ineligible-buffer (upsert / out-of-order) rate tier WITHOUT a
+        whole-store decode (r05 verdict ask #4). Committed tier_rate_1m
+        cells in UNTOUCHED minute buckets are exact as-is — no dirty
+        conversation contributes to them — so only the touched buckets
+        rebuild. Touched = every minute bucket holding a dirty
+        conversation's row, committed-OLD (a superseded row's
+        contribution must leave its bucket; an upsert can move ts across
+        buckets) or merged-NEW. T-digests are not subtractable, so a
+        bucket-granular rebuild is the tightest exact scope: the rebuild
+        input is the dirty conversations' merged canonical rows
+        (_overlay_rows: conv-zone-pruned decode ∪ buffer, upsert dedup +
+        exact latency) ∪ the SAME buckets' committed rows of the CLEAN
+        conversations — a ts-zone-pruned decode of role/tool/ts/latency
+        only, no text blobs."""
+        committed_tbl = self._pipeline.table("tier_rate_1m")
+        if not (self._segments.current().files
+                and committed_tbl.current().files):
+            return build_rate_tier(self._canonical(), MINUTE_MS)
+        dirty = self._dirty_convs()
+        merged = self._overlay_rows(dirty)
+        # the dirty convs' committed timestamps (old buckets): a
+        # ts-blob-only decode under the same bucket prune
+        buckets = [int(r[0]) for r in dirty.select(
+            F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets))
+             .cast("int").alias("b")).distinct().collect()]
+        old = (decode_segments(
+                   self._read_segments()
+                       .filter(F.col("conv_bucket").isin(buckets)),
+                   ["conv_id", "ts_us"])
+               .join(F.broadcast(dirty), "conv_id", "left_semi"))
+        minute_us = MINUTE_MS * 1000
+        # distinct minute buckets of the dirty convs: bounded by their
+        # time span in minutes, not their row count
+        touched = sorted(int(r[0]) for r in (
+            merged.select("ts_us").unionByName(old.select("ts_us"))
+            .select((F.floor(F.col("ts_us") / F.lit(minute_us))
+                     * F.lit(MINUTE_MS)).alias("b"))
+            .distinct().collect()))
+        if not touched:
+            return committed_tbl.read(self.spark).select(*self._RATE_COLS)
+        # contiguous minute runs → ts-zone scan predicate for the clean
+        # side's decode (capped like the downsample straddle set; over
+        # the cap one [lo, hi] envelope still prunes, and the exact
+        # bucket semi-join below keeps the answer exact either way)
+        runs: list[list[int]] = []
+        for b in touched:
+            if runs and b == runs[-1][1]:
+                runs[-1][1] = b + MINUTE_MS
+            else:
+                runs.append([b, b + MINUTE_MS])
+        if len(runs) > 512:
+            runs = [[touched[0], touched[-1] + MINUTE_MS]]
+        zone = None
+        for lo, hi in runs:
+            p = ((F.col("min_ts_us") < F.lit(hi * 1000))
+                 & (F.col("max_ts_us") >= F.lit(lo * 1000)))
+            zone = p if zone is None else (zone | p)
+        tb = self.spark.createDataFrame(
+            [(b,) for b in touched], "bucket_ms long")
+        clean = (decode_segments(
+                     self._read_segments().filter(zone),
+                     ["conv_id", "role", "tool", "ts_us", "latency_s"])
+                 .join(F.broadcast(dirty), "conv_id", "left_anti")
+                 .withColumn("bucket_ms",
+                             F.floor(F.col("ts_us") / F.lit(minute_us))
+                             * F.lit(MINUTE_MS))
+                 .join(F.broadcast(tb), "bucket_ms", "left_semi")
+                 .select("role", "tool", "ts_us", "latency_s"))
+        rebuilt = build_rate_tier(
+            clean.unionByName(
+                merged.select("role", "tool", "ts_us", "latency_s")),
+            MINUTE_MS)
+        keep = (committed_tbl.read(self.spark)
+                .join(F.broadcast(tb), "bucket_ms", "left_anti")
+                .select(*self._RATE_COLS))
+        return keep.unionByName(rebuilt.select(*self._RATE_COLS))
 
     def _rate_rows(self, lb_ms: int, ub_ms: int) -> DataFrame:
         """Committed rate-tier rows covering [lb, ub), coarsest-first

@@ -297,3 +297,73 @@ def test_percentile_overlay_without_store_decode(spark, tmp_path):
     total = sum(r["n_turns"] for r in
                 e.execute_percentile_query(LB, LB + 90 * 86_400_000).collect())
     assert total == 6 * 12  # upsert replaces, never adds
+
+
+def test_percentile_ineligible_buffer_rebuilds_only_touched_buckets(
+        spark, tmp_path):
+    """r05 verdict ask #4: an upserting (ineligible) buffer must not
+    rebuild the rate tier from a whole-store decode. Committed
+    tier_rate_1m rows in UNTOUCHED minute buckets pass through
+    byte-identically (digest blobs included), the rebuild decode is
+    ts-zone-scoped to the touched buckets' segments (pushed min/max_ts_us
+    predicates), and the answers equal a twin with everything committed."""
+    e = eng.connect(spark, str(tmp_path / "scoped"), n_buckets=4)
+    t = eng.connect(spark, str(tmp_path / "scopedtwin"), n_buckets=4)
+    first = _rows(range(6), range(0, 8))                      # day-0 region
+    far = _rows(range(10, 16), range(0, 8), day_shift=20)     # day-20 region
+    ups = _rows(range(1, 2), range(3, 4), text="UPSERTED")    # dirty: ov-001
+    ups["ts"] = ups["ts"] + pd.Timedelta(days=40)             # bucket moves
+    for x in (e, t):
+        x.write(spark.createDataFrame(first))
+        x.shutdown()
+        x.write(spark.createDataFrame(far))
+        x.shutdown()
+    e.write(spark.createDataFrame(ups))   # buffered, ineligible
+    t.write(spark.createDataFrame(ups))
+    t.shutdown()                          # twin: fully committed
+
+    assert e._overlay_rate_tier() is None, "upsert buffer must be ineligible"
+    tier = e._scoped_rate_tier()
+
+    # plan fact: the rebuild's committed decodes are scoped — ts zones
+    # (touched-bucket runs) and conv zones (dirty set) pushed to the scan
+    from lindorm_tsdb_contest_java_spark.plans.audit import facts
+    pushed = " ".join(facts(tier).pushed_filters())
+    for col in ("min_ts_us", "max_ts_us", "conv_bucket"):
+        assert col in pushed, (col, pushed)
+
+    # untouched buckets (the day-20 region, disjoint convs) pass through
+    # byte-identically from the committed table — never rebuilt
+    day20_lo = (BASE_S + 20 * 86_400) * 1000
+    day30_hi = (BASE_S + 30 * 86_400) * 1000  # below the day-40 upsert
+    committed = {(r["role"], r["tool"], r["bucket_ms"]): r for r in
+                 e._pipeline.table("tier_rate_1m").read(spark)
+                 .filter((F.col("bucket_ms") >= day20_lo)
+                         & (F.col("bucket_ms") < day30_hi)).collect()}
+    got20 = [r for r in tier.collect()
+             if day20_lo <= r["bucket_ms"] < day30_hi]
+    assert committed and len(got20) == len(committed)
+    for r in got20:
+        c = committed[(r["role"], r["tool"], r["bucket_ms"])]
+        assert (r["n_turns"], r["latency_sum"], bytes(r["latency_digest"])) \
+            == (c["n_turns"], c["latency_sum"], bytes(c["latency_digest"]))
+
+    # exactness: counts per (role, tool) equal the fully-committed twin
+    WIDE = (LB, LB + 90 * 86_400_000)
+    mine = {(r["role"], r["tool"]): r["n_turns"]
+            for r in e.execute_percentile_query(*WIDE).collect()}
+    twin = {(r["role"], r["tool"]): r["n_turns"]
+            for r in t.execute_percentile_query(*WIDE).collect()}
+    assert mine == twin
+    # and the percentile values stay within the rank bound of exact
+    canon = e._canonical().toPandas()
+    got = {(r["role"], r["tool"]): r for r in
+           e.execute_percentile_query(*WIDE).collect()}
+    for (role, tool), grp in canon.groupby(["role", "tool"]):
+        lat = grp["latency_s"].to_numpy()
+        r = got[(role, tool)]
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            below = (lat < r[col]).mean()
+            at_or_below = (lat <= r[col]).mean()
+            assert below <= q + 0.02 and at_or_below >= q - 0.02, \
+                (role, tool, col)
