@@ -372,6 +372,7 @@ class TranscriptTSDB:
         - `{p}segments`       the encoded segment rows + zone-map stats
         - `{p}tier_conv_1m/1h/1d`, `{p}tier_rate_1m/1h/1d`
         - `{p}tier_latest`    per-(conv, chunk) newest rows
+        - `{p}tier_latest_head` ONE newest row per conversation
         - `{p}lineage`        per-partition write/expiry metrics
 
         Views are snapshot-pinned (they wrap the CURRENT manifest's file
@@ -391,7 +392,7 @@ class TranscriptTSDB:
                       "ts_us", "text_len", "latency_s"]))
         for t in ("tier_conv_1m", "tier_conv_1h", "tier_conv_1d",
                   "tier_rate_1m", "tier_rate_1h", "tier_rate_1d",
-                  "tier_latest"):
+                  "tier_latest", "tier_latest_head"):
             tbl = self._pipeline.table(t)
             if tbl.current().files:
                 reg(t, tbl.read(self.spark))
@@ -797,6 +798,21 @@ class TranscriptTSDB:
 
     # ---------- the four query types ----------
 
+    def _latest_head(self) -> DataFrame | None:
+        """`tier_latest_head` (one row per conversation) when it is
+        CURRENT w.r.t. tier_latest: the head commit stamps the
+        tier_latest snapshot it derives from, so a crash between the two
+        commits leaves a mismatched stamp and the read falls back to the
+        per-chunk argmax until the next flush heals it."""
+        head = self._pipeline.table("tier_latest_head")
+        snap = head.current()
+        if not snap.files:
+            return None
+        if snap.meta.get("base_latest_snapshot") != \
+                self._tier_latest.current().snapshot_id:
+            return None
+        return head.read(self.spark)
+
     def execute_latest_query(self, conv_ids: list[str] | None = None,
                              columns: list[str] | None = None) -> DataFrame:
         """Served from the materialized latest tier when the committed
@@ -808,20 +824,35 @@ class TranscriptTSDB:
         the memtable-overlay read, never a whole-store rescan."""
         clean_state = not self._buffer and not self._raw.current().files
         if clean_state and self._tier_latest.current().files:
-            tier = self._tier_latest.read(self.spark)
             cols = columns or [c for c in CANONICAL_COLUMNS if c != "conv_id"]
+            head = self._latest_head()
+            if head is not None:
+                # O(convs) read: one pre-computed row per conversation
+                # (the MapIndex.getLast slot), no argmax at all
+                if conv_ids is not None:
+                    head = head.filter(F.col("conv_id").isin(conv_ids))
+                return head.select("conv_id", *cols)
+            tier = self._tier_latest.read(self.spark)
             return latest_from_tier(tier, conv_ids, cols)
         if not clean_state and self._tier_latest.current().files:
             cols = columns or [c for c in CANONICAL_COLUMNS if c != "conv_id"]
             dirty = self._dirty_convs()
             if conv_ids is not None:
                 dirty = dirty.filter(F.col("conv_id").isin(conv_ids))
-            tier = self._tier_latest.read(self.spark)
-            if conv_ids is not None:
-                tier = tier.filter(F.col("conv_id").isin(conv_ids))
-            clean = latest_from_tier(
-                tier.join(F.broadcast(dirty), "conv_id", "left_anti"),
-                None, cols)
+            head = self._latest_head()
+            if head is not None:
+                if conv_ids is not None:
+                    head = head.filter(F.col("conv_id").isin(conv_ids))
+                clean = (head.join(F.broadcast(dirty), "conv_id",
+                                   "left_anti")
+                         .select("conv_id", *cols))
+            else:
+                tier = self._tier_latest.read(self.spark)
+                if conv_ids is not None:
+                    tier = tier.filter(F.col("conv_id").isin(conv_ids))
+                clean = latest_from_tier(
+                    tier.join(F.broadcast(dirty), "conv_id", "left_anti"),
+                    None, cols)
             # same (ts_us, turn_idx) tie-break as the tier path: the
             # overlay rows carry every latest_from_tier input column
             recomputed = latest_from_tier(self._overlay_rows(dirty),

@@ -31,7 +31,7 @@ from ..functions.codecs import CODEC_VERSION
 from ..operators.tiers import (
     HOUR_MS, MINUTE_MS, DAY_MS,
     build_conv_tier, build_latest_tier, build_rate_tier,
-    rollup_conv_tier, rollup_rate_tier,
+    latest_from_tier, rollup_conv_tier, rollup_rate_tier,
 )
 from ..sources.segments import (
     DEFAULT_CHUNK_US, canonicalize, decode_segments, encode_segments,
@@ -494,6 +494,8 @@ class RollupPipeline:
                     build_latest_tier(lt_in), "time_chunk", touched,
                     sort_within=["conv_id"]),
             )
+            self._update_latest_head(
+                l0_latest_in.select("conv_id").distinct())
             self.checkpoint.add_cascade_pending(touched)
             if cascade:
                 self.cascade()
@@ -506,6 +508,47 @@ class RollupPipeline:
             return {"rows": rows, "encoded_bytes": enc_bytes}
         finally:
             enc.unpersist()
+
+    def _update_latest_head(self, touched_convs: DataFrame) -> None:
+        """Maintain `tier_latest_head`: ONE compacted row per
+        conversation — the reference's in-memory MapIndex.getLast slot
+        (index/MapIndex.java:99-114) materialized as a table (r05
+        verdict ask #5), so 'latest per conversation' reads O(convs)
+        rows instead of argmaxing O(convs × chunks) per-chunk winners.
+
+        Untouched conversations' head rows pass through (anti-join
+        against the flush's conv set); the touched set recomputes from
+        ALL its tier_latest rows — NOT a max_by merge against the old
+        head, because a rewrite flush can supersede the very row a head
+        slot holds (the stale slot must not compete). The commit stamps
+        the tier_latest snapshot it derives from; readers treat a
+        mismatched stamp (a crash between the two commits) as stale and
+        fall back to the per-chunk argmax until the next flush heals it,
+        so the head is an accelerator, never a correctness dependency.
+        """
+        lt = self.table("tier_latest")
+        snap = lt.current()
+        if not snap.files:
+            return
+        head_tbl = self.table("tier_latest_head")
+        tier = lt.read(self.spark)
+        vcols = [c for c in tier.columns if c != "conv_id"]
+        if head_tbl.current().files:
+            winners = latest_from_tier(
+                tier.join(F.broadcast(touched_convs), "conv_id",
+                          "left_semi"), None, vcols)
+            head = (head_tbl.read(self.spark)
+                    .join(F.broadcast(touched_convs), "conv_id",
+                          "left_anti")
+                    .unionByName(winners))
+        else:
+            # first flush on this store (or first after the upgrade):
+            # one full per-conv argmax seeds the head
+            head = latest_from_tier(tier, None, vcols)
+        # conv-sorted row groups: single-conv head lookups prune like
+        # every other tier read
+        head_tbl.overwrite(head.sort("conv_id"),
+                           meta={"base_latest_snapshot": snap.snapshot_id})
 
     def _cascade(self) -> None:
         """INCREMENTAL 1h/1d rebuild: recompute only the coarse windows
@@ -688,6 +731,7 @@ class RollupPipeline:
                 build_latest_tier(part), "time_chunk",
                 [int(c) for c in batch], sort_within=["conv_id"]),
         )
+        self._update_latest_head(part.select("conv_id").distinct())
         # these chunks' 1m content changed: their coarse windows need the
         # cascade (recorded BEFORE it runs — crash-safe re-do list)
         self.checkpoint.add_cascade_pending(batch)

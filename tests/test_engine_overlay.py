@@ -367,3 +367,60 @@ def test_percentile_ineligible_buffer_rebuilds_only_touched_buckets(
             at_or_below = (lat <= r[col]).mean()
             assert below <= q + 0.02 and at_or_below >= q - 0.02, \
                 (role, tool, col)
+
+
+def test_latest_head_one_row_per_conv(spark, tmp_path):
+    """r05 verdict ask #5: `tier_latest_head` holds ONE pre-computed row
+    per conversation (the MapIndex.getLast slot), committed latest reads
+    plan over the head files only — O(convs) rows, no argmax — and a
+    stale head (tier commit without the head commit) falls back to the
+    per-chunk argmax until the next flush heals it."""
+    from lindorm_tsdb_contest_java_spark.operators.tiers import \
+        latest_from_tier
+    e = eng.connect(spark, str(tmp_path / "head"), n_buckets=4)
+    e.write(spark.createDataFrame(_rows(range(8), range(0, 6))))
+    e.shutdown()
+    # second flush in a different time chunk: convs 3..7 EXTEND with new
+    # turns (fresh turn indices — same ones would upsert day 0 away)
+    e.write(spark.createDataFrame(_rows(range(3, 8), range(6, 12),
+                                        day_shift=2)))
+    e.shutdown()
+
+    head_tbl = e._pipeline.table("tier_latest_head")
+    assert head_tbl.read(spark).count() == 8          # one row per conv
+    assert e._tier_latest.read(spark).count() > 8     # tier: per (conv, chunk)
+    assert e._latest_head() is not None
+
+    cols = ["turn_idx", "ts_us", "text"]
+    q = e.execute_latest_query(None, cols)
+    files = q.inputFiles()
+    assert files and all("tier_latest_head" in f for f in files), files
+    # O(convs) rows, pre-computed: no aggregate in the plan at all
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Aggregate" not in plan, plan
+    via_tier = latest_from_tier(e._tier_latest.read(spark), None, cols)
+    assert sorted(map(str, q.collect())) == \
+        sorted(map(str, via_tier.collect()))
+
+    # an upsert REWRITES the head slot (full recompute of touched convs,
+    # not a max_by merge that would keep the superseded row competing)
+    ups = _rows(range(3, 4), range(5, 6), text="HEAD-UPSERT", day_shift=2)
+    ups["ts"] = ups["ts"] + pd.Timedelta(days=1)
+    e.write(spark.createDataFrame(ups))
+    e.shutdown()
+    got = {r["conv_id"]: r["text"]
+           for r in e.execute_latest_query(None, ["text"]).collect()}
+    assert got["ov-003"] == "HEAD-UPSERT"
+    assert head_tbl.read(spark).count() == 8
+
+    # staleness guard: a tier_latest commit the head never followed
+    e._tier_latest.append(e._tier_latest.read(spark).limit(0))
+    assert e._latest_head() is None
+    fallback = e.execute_latest_query(None, ["text"])
+    assert all("tier_latest_head" not in f for f in fallback.inputFiles())
+    assert {r["conv_id"]: r["text"] for r in fallback.collect()} == got
+    # the next flush heals the stamp
+    e.write(spark.createDataFrame(_rows(range(0, 1), range(6, 8))))
+    e.shutdown()
+    assert e._latest_head() is not None
+    assert e.execute_latest_query(None, ["text"]).count() == 8
