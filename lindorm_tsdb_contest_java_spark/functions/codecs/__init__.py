@@ -45,7 +45,12 @@ sequential fallback reader for foreign streams).
 #      list (the reference's Simple-8b word packing, Simple8.java:56-215),
 #      adopted per block only when the final blob is shorter than the
 #      zstd'd varint winner
-CODEC_VERSION = 9
+#  v10: blob_text gains MODE_TOKENS: per-block token dictionary (rows
+#      split on ' ', distinct tokens + per-row counts + ids, zstd
+#      envelope) — the transcript-aware word-redundancy lever, adopted
+#      per block only when byte-for-byte shorter than the best
+#      length-framed stream
+CODEC_VERSION = 10
 
 from .varint import (
     zigzag_encode, zigzag_decode, varint_encode, varint_decode, varint_size,

@@ -35,8 +35,23 @@ _MODE_EXTLEN = 2
 # length, i.e. small and mostly zero — and decode reframes the stream as
 # cumsum(ext + delta). Exact for ANY text (deltas >= 0 guard only).
 _MODE_EXTLEN_DELTA = 3
+# token-dictionary stream (v10, the transcript-aware text lever):
+# each row is split on ' ' into tokens, the segment's distinct tokens
+# form a per-block dictionary, and the stream stores per-row token
+# counts + token ids + the dictionary — all inside the zstd envelope.
+# ' '.join(s.split(' ')) == s for EVERY string (empty tokens encode
+# consecutive/leading/trailing spaces), so the mode is lossless for
+# arbitrary text; it is adopted per block only when byte-for-byte
+# shorter than the best length-framed stream (the int codec's best-of
+# pattern). Transcript text is word-redundant (tool names, quoted
+# identifiers, repeated phrasing), which zstd-3's literal stage
+# captures only partially — entropy-coding 1-byte ids over the block
+# vocabulary gets the rest.
+_MODE_TOKENS = 4
 TEXT_MODE_EXTLEN = _MODE_EXTLEN
 TEXT_MODE_EXTLEN_DELTA = _MODE_EXTLEN_DELTA
+TEXT_MODE_TOKENS = _MODE_TOKENS
+_TOKMETA = struct.Struct("<IB")  # n_vocab, id-width flag (1=uint8, 0=varint)
 
 
 def _encode_dict_codes(codes: np.ndarray, n_uniq: int) -> tuple[bytes, int]:
@@ -86,6 +101,57 @@ def _utf8_lengths_and_data(values) -> tuple[np.ndarray, bytes]:
     return lengths, data
 
 
+def _token_blob(arr: pa.Array, level: int) -> bytes | None:
+    """_MODE_TOKENS candidate, or None when inapplicable (empty block).
+    Arrow-native end to end: split_pattern → dictionary_encode → buffers;
+    no per-row Python."""
+    import pyarrow.compute as pc
+    n = len(arr)
+    if n == 0:
+        return None
+    sp = pc.split_pattern(arr, " ")
+    counts = pc.list_value_length(sp).to_numpy(zero_copy_only=False)
+    flat = sp.flatten()
+    d = flat.dictionary_encode()
+    vocab = d.dictionary
+    nv = len(vocab)
+    ids = d.indices.to_numpy(zero_copy_only=False)
+    if nv <= 256:
+        ids_b, idw = ids.astype(np.uint8).tobytes(), 1
+    else:
+        ids_b, idw = varint_encode(ids.astype(np.uint64)), 0
+    vlens, vdata = _utf8_lengths_and_data(vocab)
+    payload = pack_sections(
+        _TOKMETA.pack(nv, idw),
+        varint_encode(counts.astype(np.uint64)),
+        ids_b,
+        varint_encode(vlens.astype(np.uint64)),
+        vdata)
+    return _HDR.pack(_MODE_TOKENS, n) + zstd_compress(payload, level)
+
+
+def _token_decode_arrow(n: int, payload: bytes) -> pa.Array:
+    import pyarrow.compute as pc
+    meta_b, counts_b, ids_b, vlens_b, vdata = unpack_sections(payload, 5)
+    nv, idw = _TOKMETA.unpack(meta_b)
+    counts = varint_decode(counts_b, n).astype(np.int64)
+    total = int(counts.sum())
+    if idw:
+        ids = np.frombuffer(ids_b, dtype=np.uint8).astype(np.int32)
+    else:
+        ids = varint_decode(ids_b, total).astype(np.int32)
+    vlens = varint_decode(vlens_b, nv).astype(np.int32)
+    voff = np.zeros(nv + 1, dtype=np.int32)
+    np.cumsum(vlens, out=voff[1:])
+    vocab = pa.StringArray.from_buffers(
+        nv, pa.py_buffer(voff.tobytes()), pa.py_buffer(vdata))
+    flat = pc.take(vocab, pa.array(ids))
+    offs = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(counts.astype(np.int32), out=offs[1:])
+    lst = pa.ListArray.from_arrays(pa.array(offs), flat)
+    return pc.binary_join(lst, " ")
+
+
 def text_encode(values, level: int = 3, ext_lengths=None) -> bytes:
     """Arbitrary strings -> <mode=0,n> + zstd(varint lengths || utf8 concat).
 
@@ -96,19 +162,32 @@ def text_encode(values, level: int = 3, ext_lengths=None) -> bytes:
     pure redundancy (~1 B/turn on the bench corpus). Any non-ASCII block
     fails the equality proof and falls back to the self-contained mode
     unchanged (the latency-codec verified-derivation pattern)."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if not isinstance(values, pa.Array):
+        values = pa.array(values, type=pa.string())
     lengths, data = _utf8_lengths_and_data(values)
+    best = None
     if ext_lengths is not None:
         ext = np.asarray(ext_lengths, dtype=np.int64)
         if np.array_equal(lengths, ext):
-            return (_HDR.pack(_MODE_EXTLEN, len(lengths))
+            best = (_HDR.pack(_MODE_EXTLEN, len(lengths))
                     + zstd_compress(data, level))
-        if len(ext) == len(lengths) and (lengths >= ext).all():
+        elif len(ext) == len(lengths) and (lengths >= ext).all():
             deltas = (lengths - ext).astype(np.uint64)
             payload = pack_sections(varint_encode(deltas), data)
-            return (_HDR.pack(_MODE_EXTLEN_DELTA, len(lengths))
+            best = (_HDR.pack(_MODE_EXTLEN_DELTA, len(lengths))
                     + zstd_compress(payload, level))
-    payload = pack_sections(varint_encode(lengths.astype(np.uint64)), data)
-    return _HDR.pack(_MODE_RAW, len(lengths)) + zstd_compress(payload, level)
+    if best is None:
+        payload = pack_sections(varint_encode(lengths.astype(np.uint64)),
+                                data)
+        best = _HDR.pack(_MODE_RAW, len(lengths)) + zstd_compress(payload,
+                                                                  level)
+    # token-dictionary candidate, adopted only when byte-for-byte shorter
+    tok = _token_blob(values, level)
+    if tok is not None and len(tok) < len(best):
+        return tok
+    return best
 
 
 def _text_decode_body(n: int, payload: bytes) -> np.ndarray:
@@ -124,7 +203,7 @@ def _text_decode_body(n: int, payload: bytes) -> np.ndarray:
 
 def text_decode(blob: bytes, lengths=None) -> np.ndarray:
     mode, n = _HDR.unpack_from(blob, 0)
-    if mode in (_MODE_EXTLEN, _MODE_EXTLEN_DELTA):
+    if mode in (_MODE_EXTLEN, _MODE_EXTLEN_DELTA, _MODE_TOKENS):
         return text_decode_arrow(blob, lengths).to_numpy(zero_copy_only=False)
     if mode != _MODE_RAW:
         raise ValueError(f"not a text stream (mode {mode})")
@@ -148,6 +227,9 @@ def text_decode_arrow(blob: bytes, lengths=None) -> pa.Array:
     _MODE_EXTLEN blobs carry no lengths section — pass the segment's
     decoded text_len values as `lengths` (sources/segments.py does)."""
     mode, n = _HDR.unpack_from(blob, 0)
+    if mode == _MODE_TOKENS:
+        # self-contained: row framing comes from the token counts
+        return _token_decode_arrow(n, zstd_decompress(blob[_HDR.size:]))
     if mode in (_MODE_EXTLEN, _MODE_EXTLEN_DELTA):
         if lengths is None:
             raise ValueError(

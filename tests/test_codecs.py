@@ -564,3 +564,40 @@ def test_int_pack_mode_extremes():
               [hi, lo, hi, lo], [7] * 500, list(range(0, 5000, 7))):
         arr = np.array(v, dtype=np.int64)
         assert (int_decode(int_encode(arr)) == arr).all(), v
+
+
+def test_text_token_mode_roundtrip_and_adoption():
+    """v10 token-dictionary mode: lossless on whitespace extremes
+    (' '.join(s.split(' ')) == s for every string), NUL bytes, and
+    multibyte text; adopted on word-redundant transcript-ish blocks and
+    never adopted when it is not strictly shorter."""
+    import numpy as np
+    import pyarrow as pa
+    from lindorm_tsdb_contest_java_spark.functions.codecs.strings import (
+        TEXT_MODE_TOKENS, _token_blob, text_decode, text_encode,
+    )
+    edge = ["", " ", "  ", "a  b", " lead", "trail ", "\x00 \x00",
+            "日本語 многослов emoji🙂", "a b  c   d", "x" * 300]
+    for vals in (edge, [""], ["", ""], edge * 3):
+        # forced token blob round-trips exactly
+        tok = _token_blob(pa.array(vals, pa.string()), 3)
+        assert list(text_decode(tok)) == vals
+        # whatever mode best-of picks round-trips too
+        assert list(text_decode(text_encode(vals))) == vals
+        lens = np.array([len(s.encode()) for s in vals], dtype=np.int64)
+        assert list(text_decode(text_encode(vals, ext_lengths=lens),
+                                lengths=lens)) == vals
+    # word-redundant block (distinct rows, shared vocabulary): the token
+    # mode must win and be strictly smaller than the length-framed stream
+    rng = np.random.default_rng(5)
+    words = ["scan", "merge", "join", "filter", "spark", "table", "the",
+             "batch", "row", "query"]
+    vals = [" ".join(rng.choice(words, 12)) for _ in range(2000)]
+    lens = np.array([len(s.encode()) for s in vals], dtype=np.int64)
+    blob = text_encode(vals, ext_lengths=lens)
+    assert blob[0] == TEXT_MODE_TOKENS
+    assert list(text_decode(blob)) == vals
+    # vocab > 256 forces varint ids
+    big = [f"tok{i} tok{i+1} shared" for i in range(1500)]
+    tok = _token_blob(pa.array(big, pa.string()), 3)
+    assert list(text_decode(tok)) == big

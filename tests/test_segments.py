@@ -236,13 +236,16 @@ def test_non_ascii_text_roundtrip(spark):
 def test_text_blobs_use_ext_length_modes(segments):
     """Every segment encoded from a canonical frame (where text_len IS
     the char length) must hit one of the v8 ext-length modes — the
-    lengths live only in blob_text_len."""
+    lengths live only in blob_text_len — or the v10 token-dictionary
+    mode when it proved byte-for-byte shorter (self-framing: row
+    boundaries come from the token counts)."""
     from lindorm_tsdb_contest_java_spark.functions.codecs.strings import (
-        TEXT_MODE_EXTLEN, TEXT_MODE_EXTLEN_DELTA,
+        TEXT_MODE_EXTLEN, TEXT_MODE_EXTLEN_DELTA, TEXT_MODE_TOKENS,
     )
     modes = [r[0][0] for r in segments.select("blob_text").collect()]
     assert modes and all(
-        m in (TEXT_MODE_EXTLEN, TEXT_MODE_EXTLEN_DELTA) for m in modes)
+        m in (TEXT_MODE_EXTLEN, TEXT_MODE_EXTLEN_DELTA, TEXT_MODE_TOKENS)
+        for m in modes)
 
 
 def test_text_level_knob(spark):
