@@ -245,7 +245,10 @@ class TranscriptTSDB:
                 ["conv_id", "turn_idx"]).distinct()
             new_rows = new_rows.join(seen, ["conv_id", "turn_idx"],
                                      "left_anti")
-        context = (self._tier_latest.read(self.spark)
+        # head-if-current: the strictly-extending batch's lag predecessor
+        # is each conversation's newest committed row — one head row per
+        # conv instead of its whole per-chunk tier slice
+        context = (self._committed_latest_rows()
                    .join(new_rows.select("conv_id").distinct(),
                          "conv_id", "left_semi")
                    .select(*_INPUT_COLUMNS))
@@ -424,6 +427,24 @@ class TranscriptTSDB:
         return (decoded.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
                 .select(*_INPUT_COLUMNS))
 
+    def _committed_latest_rows(self) -> DataFrame:
+        """ONE committed row per conversation: the head when current
+        (O(convs) scan, no aggregate), else the per-chunk argmax over
+        tier_latest. Serves the flush eligibility probe and the
+        strictly-extending paths' lag context — under the fast path's
+        forward-ordering precondition a conversation's lag predecessor
+        IS its newest committed row. (_fast_flush_input still reads the
+        per-chunk tier: a touched chunk's FIRST committed row needs its
+        predecessor from the newest UNTOUCHED chunk, which the head
+        does not retain when the conversation's newest row sits in a
+        touched chunk.)"""
+        head = self._latest_head()
+        if head is not None:
+            return head
+        tier = self._tier_latest.read(self.spark)
+        return latest_from_tier(
+            tier, None, [c for c in tier.columns if c != "conv_id"])
+
     def _fast_flush_chunks(self, new_rows: DataFrame) -> list[int] | None:
         """Touched time chunks when the batch qualifies for the O(batch)
         flush, else None. Qualifies iff (a) committed history is
@@ -453,8 +474,8 @@ class TranscriptTSDB:
                     | (F.col("_pts") >= F.col("ts_us")))
             .select(F.lit("bad").alias("k"),
                     F.lit(0).cast("long").alias("v")).limit(1))
-        latest = latest_from_tier(
-            self._tier_latest.read(self.spark), columns=["turn_idx", "ts_us"])
+        latest = self._committed_latest_rows().select(
+            "conv_id", "turn_idx", "ts_us")
         firsts = nr.groupBy("conv_id").agg(
             F.min("turn_idx").alias("_bt"), F.min("ts_us").alias("_bts"))
         vs_committed_bad = (firsts.join(latest, "conv_id")
@@ -1026,7 +1047,7 @@ class TranscriptTSDB:
             nr = nr.unionByName(self._conform(more))
         if self._fast_flush_chunks(nr) is None:
             return None
-        context = (self._tier_latest.read(self.spark)
+        context = (self._committed_latest_rows()
                    .join(nr.select("conv_id").distinct(),
                          "conv_id", "left_semi")
                    .select(*_INPUT_COLUMNS))
