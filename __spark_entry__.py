@@ -201,6 +201,42 @@ def _q_time_range_l0(spark, sf_dir):
     return out.withColumn("turn_idx", F.col("turn_idx").cast("long"))
 
 
+def _q_latest_head(spark, sf_dir):
+    """The O(convs) latest read end-to-end through the ENGINE facade
+    (r05 verdict ask #5 — the reference's MapIndex.getLast slot,
+    index/MapIndex.java:99-114, materialized as tier_latest_head): the
+    store is built from TWO committed flushes split mid-range, so
+    conversations span multiple time chunks and the per-chunk
+    tier_latest holds several rows per conversation — then
+    execute_latest_query must plan over the head files ONLY (one
+    pre-computed row per conversation, no aggregate; self-gated below,
+    so a stale-stamp or fallback regression fails the driver row) and
+    the answer must equal the plain per-conv argmax SQL over all
+    events."""
+    import shutil
+    import tempfile
+
+    from lindorm_tsdb_contest_java_spark import engine as ENG
+
+    rows = events_to_transcripts(spark, sf_dir)
+    split_ms = JAN1_MS + 10 * 86_400_000
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_head_store")
+    shutil.rmtree(root, ignore_errors=True)
+    e = ENG.connect(spark, root, n_buckets=8)
+    ts_ms = F.unix_micros(F.col("ts").cast("timestamp")) / 1000
+    e.write(rows.filter(ts_ms < split_ms))
+    e.shutdown()
+    e.write(rows.filter(ts_ms >= split_ms))
+    e.shutdown()
+    out = e.execute_latest_query(
+        None, ["turn_idx", "role", "text", "ts_us"])
+    files = out.inputFiles()
+    if not files or not all("tier_latest_head" in f for f in files):
+        raise AssertionError(
+            f"latest read fell back off the head table: {files}")
+    return out.withColumn("turn_idx", F.col("turn_idx").cast("long"))
+
+
 def _agg(column, agg, scale=None):
     """Aggregate driver query. For double averages, aggregate the exact
     integer twin column (latency_us) and apply the unit scale once at the
@@ -637,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_range_committed": _q_time_range_committed,
         "time_range_overlay": _q_time_range_overlay,
         "time_range_l0": _q_time_range_l0,
+        "latest_head": _q_latest_head,
         "agg_avg_int": _agg("text_len", "AVG"),
         "agg_max_int": _agg("text_len", "MAX"),
         "agg_avg_double": _agg("latency_us", "AVG", scale=1e6),
@@ -744,6 +781,16 @@ SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text, ts_us
 FROM canonical
 WHERE conv_id = '{CONV}' AND ts_us >= {(JAN1_MS + 4 * 86_400_000) * 1000}
   AND ts_us < {(JAN1_MS + 14 * 86_400_000) * 1000}
+""",
+        # the head-served latest (one pre-computed row per conversation,
+        # plan self-gated to the head files) must equal the plain argmax
+        # over all events, flush layout invisible. Tie-break mirrors the
+        # engine's max_by(struct(ts_us, turn_idx)).
+        "latest_head": C + """
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, ts_us
+FROM canonical
+QUALIFY ROW_NUMBER() OVER (PARTITION BY conv_id
+                           ORDER BY ts_us DESC, turn_idx DESC) = 1
 """,
         "agg_avg_int": C + f"""
 SELECT conv_id, {JAN1_MS} AS ts_ms, SUM(text_len) * 1.0 / COUNT(text_len) AS value

@@ -494,8 +494,7 @@ class RollupPipeline:
                     build_latest_tier(lt_in), "time_chunk", touched,
                     sort_within=["conv_id"]),
             )
-            self._update_latest_head(
-                l0_latest_in.select("conv_id").distinct())
+            self._merge_latest_head(l0_latest_in)
             self.checkpoint.add_cascade_pending(touched)
             if cascade:
                 self.cascade()
@@ -549,6 +548,36 @@ class RollupPipeline:
         # every other tier read
         head_tbl.overwrite(head.sort("conv_id"),
                            meta={"base_latest_snapshot": snap.snapshot_id})
+        # every flush overwrites the WHOLE head (it is not
+        # chunk-partitioned, so retention's drop+vacuum never visits
+        # it): reclaim superseded head files here, with the standard
+        # grace window protecting concurrent readers' pinned snapshots
+        head_tbl.vacuum()
+
+    def _merge_latest_head(self, new_rows: DataFrame) -> None:
+        """Head update for the STRICTLY-EXTENDING (L0 append) path: the
+        eligibility probe proved no committed key can be superseded, so
+        the pure max_by merge of the old head with the batch's own rows
+        is exact — ONE small job (no tier_latest read), keeping the
+        per-micro-batch flush floor flat. Crash-replay safe: the input
+        is the l0-decoded row set (includes a crashed flush's appended
+        rows) and the merge is idempotent. Falls back to the full
+        recompute when no head exists yet."""
+        lt = self.table("tier_latest")
+        snap = lt.current()
+        if not snap.files:
+            return
+        head_tbl = self.table("tier_latest_head")
+        if not head_tbl.current().files:
+            self._update_latest_head(new_rows.select("conv_id").distinct())
+            return
+        head = head_tbl.read(self.spark)
+        both = head.unionByName(new_rows.select(*head.columns))
+        merged = latest_from_tier(
+            both, None, [c for c in head.columns if c != "conv_id"])
+        head_tbl.overwrite(merged.sort("conv_id"),
+                           meta={"base_latest_snapshot": snap.snapshot_id})
+        head_tbl.vacuum()
 
     def _cascade(self) -> None:
         """INCREMENTAL 1h/1d rebuild: recompute only the coarse windows
