@@ -1095,33 +1095,45 @@ class TranscriptTSDB:
                .join(F.broadcast(dirty), "conv_id", "left_semi"))
         minute_us = MINUTE_MS * 1000
         # distinct minute buckets of the dirty convs: bounded by their
-        # time span in minutes, not their row count
-        touched = sorted(int(r[0]) for r in (
-            merged.select("ts_us").unionByName(old.select("ts_us"))
-            .select((F.floor(F.col("ts_us") / F.lit(minute_us))
-                     * F.lit(MINUTE_MS)).alias("b"))
-            .distinct().collect()))
-        if not touched:
+        # time span in minutes, not their row count. The driver collect
+        # is CAPPED (straddle-set convention): a dirty set spanning more
+        # than 8192 distinct minutes keeps the bucket set as a DataFrame
+        # (semi-joins stay exact) and prunes the scan with just its
+        # [min, max] envelope — never an unbounded driver list.
+        touched_df = (merged.select("ts_us")
+                      .unionByName(old.select("ts_us"))
+                      .select((F.floor(F.col("ts_us") / F.lit(minute_us))
+                               * F.lit(MINUTE_MS)).alias("bucket_ms"))
+                      .distinct())
+        capped = touched_df.limit(8193).collect()
+        if not capped:
             return committed_tbl.read(self.spark).select(*self._RATE_COLS)
-        # contiguous minute runs → ts-zone scan predicate for the clean
-        # side's decode (capped like the downsample straddle set; over
-        # the cap one [lo, hi] envelope still prunes, and the exact
-        # bucket semi-join below keeps the answer exact either way)
-        runs: list[list[int]] = []
-        for b in touched:
-            if runs and b == runs[-1][1]:
-                runs[-1][1] = b + MINUTE_MS
-            else:
-                runs.append([b, b + MINUTE_MS])
-        if len(runs) > 512:
-            runs = [[touched[0], touched[-1] + MINUTE_MS]]
+        if len(capped) > 8192:
+            env = touched_df.agg(F.min("bucket_ms"), F.max("bucket_ms")) \
+                .collect()[0]
+            runs = [[int(env[0]), int(env[1]) + MINUTE_MS]]
+            tb = touched_df
+        else:
+            touched = sorted(int(r[0]) for r in capped)
+            # contiguous minute runs → ts-zone scan predicate for the
+            # clean side's decode (capped like the downsample straddle
+            # set; over the cap one [lo, hi] envelope still prunes, and
+            # the exact bucket semi-join below keeps the answer exact)
+            runs = []
+            for b in touched:
+                if runs and b == runs[-1][1]:
+                    runs[-1][1] = b + MINUTE_MS
+                else:
+                    runs.append([b, b + MINUTE_MS])
+            if len(runs) > 512:
+                runs = [[touched[0], touched[-1] + MINUTE_MS]]
+            tb = self.spark.createDataFrame(
+                [(b,) for b in touched], "bucket_ms long")
         zone = None
         for lo, hi in runs:
             p = ((F.col("min_ts_us") < F.lit(hi * 1000))
                  & (F.col("max_ts_us") >= F.lit(lo * 1000)))
             zone = p if zone is None else (zone | p)
-        tb = self.spark.createDataFrame(
-            [(b,) for b in touched], "bucket_ms long")
         clean = (decode_segments(
                      self._read_segments().filter(zone),
                      ["conv_id", "role", "tool", "ts_us", "latency_s"])
