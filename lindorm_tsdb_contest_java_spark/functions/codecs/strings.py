@@ -101,20 +101,49 @@ def _utf8_lengths_and_data(values) -> tuple[np.ndarray, bytes]:
     return lengths, data
 
 
-def _token_blob(arr: pa.Array, level: int) -> bytes | None:
+def _token_blob(arr: pa.Array, level: int,
+                gate_ratio: float | None = None) -> bytes | None:
     """_MODE_TOKENS candidate, or None when inapplicable (empty block).
     Arrow-native end to end: split_pattern → dictionary_encode → buffers;
-    no per-row Python."""
+    no per-row Python.
+
+    `gate_ratio` (set by text_encode's best-of chooser, not by forced-
+    mode callers): give up WITHOUT paying the zstd pass when the
+    distinct-token ratio nv/total exceeds it — a mostly-unique
+    vocabulary stores the whole vocab plus one id per token, more
+    pre-zstd bytes than the length-framed stream it competes with, so
+    it cannot plausibly win and the candidate was pure doubled encode
+    CPU on high-entropy text (ADVICE r06). Transcript corpora sit at
+    nv/total ~ 0.001 (measured r07: every bench block adopts tokens at
+    <= 0.001), so the default 0.5 gate never fires there."""
     import pyarrow.compute as pc
     n = len(arr)
     if n == 0:
         return None
     sp = pc.split_pattern(arr, " ")
     counts = pc.list_value_length(sp).to_numpy(zero_copy_only=False)
+    # decode rebuilds the flat-token list offsets as an int32 cumsum of
+    # these counts; a near-2GiB mostly-space block can have MORE tokens
+    # than data bytes, overflowing offsets the byte-payload guard in
+    # _utf8_lengths_and_data never sees — refuse the mode, the
+    # length-framed fallbacks handle any block (ADVICE r06)
+    if int(counts.sum()) > np.iinfo(np.int32).max:
+        return None
     flat = sp.flatten()
     d = flat.dictionary_encode()
     vocab = d.dictionary
     nv = len(vocab)
+    # mostly-unique vocabularies cannot win: the stream would store the
+    # whole vocab PLUS one id per token, i.e. more pre-zstd bytes than
+    # the length-framed stream it competes with, for text whose tokens
+    # zstd's literal stage already covers. Skip the second zstd pass
+    # (the expensive half of this candidate) on such blocks (ADVICE
+    # r06). Transcript-shaped corpora sit at nv/total ~ 0.001 (measured
+    # r07: every bench block adopts tokens at ratio <= 0.001), so the
+    # gate never fires there; it only spares high-entropy text the
+    # doubled encode CPU.
+    if gate_ratio is not None and nv > gate_ratio * len(flat):
+        return None
     ids = d.indices.to_numpy(zero_copy_only=False)
     if nv <= 256:
         ids_b, idw = ids.astype(np.uint8).tobytes(), 1
@@ -183,8 +212,10 @@ def text_encode(values, level: int = 3, ext_lengths=None) -> bytes:
                                 data)
         best = _HDR.pack(_MODE_RAW, len(lengths)) + zstd_compress(payload,
                                                                   level)
-    # token-dictionary candidate, adopted only when byte-for-byte shorter
-    tok = _token_blob(values, level)
+    # token-dictionary candidate, adopted only when byte-for-byte shorter;
+    # the ratio gate skips its zstd pass on blocks it cannot win (the
+    # adoption rule is unchanged for every block that passes the gate)
+    tok = _token_blob(values, level, gate_ratio=0.5)
     if tok is not None and len(tok) < len(best):
         return tok
     return best

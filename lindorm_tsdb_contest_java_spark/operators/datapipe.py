@@ -33,6 +33,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame, functions as F
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -105,35 +106,44 @@ def minhash_ab(k: int) -> tuple[int, int]:
 
 
 def _minhash_udf(n_hashes: int):
-    """Arrow-batched numpy kernel: minhash signatures from the per-row
+    """Arrow-native numpy kernel: minhash signatures from the per-row
     hash arrays. One flatten + n_hashes vectorized affine/min passes per
     batch (np.minimum.reduceat over segment starts) — Spark's built-in
     higher-order `transform` evaluates its lambda INTERPRETED per array
     element, which at n_hashes passes per shingle dominates the whole LSH
     pipeline; this kernel does the same exact int64 arithmetic at numpy
     speed. Rows with empty hash sets get an empty signature (they are
-    filtered out of banding anyway)."""
+    filtered out of banding anyway).
+
+    r07: pa.Array in / pa.Array out (F.arrow_udf) instead of a pandas
+    UDF — the pandas path materialized every hash set as a Python list
+    (one object per shingle) on the way in and rebuilt object arrays on
+    the way out; the Arrow list column's values/offsets buffers give the
+    same flatten + reduceat zero-copy (guide §4.2)."""
     abks = [minhash_ab(k) for k in range(n_hashes)]
 
-    @F.pandas_udf("array<bigint>")
-    def udf(hs: pd.Series) -> pd.Series:
-        lens = np.fromiter((len(x) for x in hs), dtype=np.int64, count=len(hs))
-        out = np.empty(len(hs), dtype=object)
+    @F.arrow_udf("array<bigint>")
+    def udf(hs: pa.Array) -> pa.Array:
+        if isinstance(hs, pa.ChunkedArray):
+            hs = hs.combine_chunks()
+        n = len(hs)
+        offs = np.frombuffer(hs.buffers()[1], dtype=np.int32,
+                             count=n + 1 + hs.offset)[hs.offset:hs.offset + n + 1]
+        flat = hs.values.to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False)[offs[0]:offs[-1]]
+        offs = offs - offs[0]
+        lens = np.diff(offs)
         nz = np.flatnonzero(lens)
+        out_offs = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(np.where(lens > 0, n_hashes, 0), out=out_offs[1:])
+        vals = np.empty((int(nz.size), n_hashes), dtype=np.int64)
         if nz.size:
-            flat = np.concatenate([np.asarray(hs.iloc[i], dtype=np.int64)
-                                   for i in nz])
-            starts = np.zeros(nz.size, dtype=np.int64)
-            np.cumsum(lens[nz][:-1], out=starts[1:])
-            sigs = np.empty((nz.size, n_hashes), dtype=np.int64)
+            starts = offs[nz].astype(np.int64)
             for k, (a, b) in enumerate(abks):
-                sigs[:, k] = np.minimum.reduceat((a * flat + b) % MINHASH_M,
+                vals[:, k] = np.minimum.reduceat((a * flat + b) % MINHASH_M,
                                                  starts)
-            for j, i in enumerate(nz):
-                out[i] = sigs[j]
-        for i in np.flatnonzero(lens == 0):
-            out[i] = np.empty(0, dtype=np.int64)
-        return pd.Series(out)
+        return pa.ListArray.from_arrays(pa.array(out_offs),
+                                        pa.array(vals.reshape(-1)))
 
     return udf
 
@@ -248,25 +258,32 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, n_hashes: int = 16,
         # computed exactly once per unique candidate pair. Cost trade:
         # the signature chain evaluates three times (band, hs_a, hs_b) —
         # linear, vectorized scan work — in exchange for shuffling each
-        # doc's hash set at most twice (vs n_bands times) and sorting
-        # only ~50-byte rows in the bucket window. Same valve, same
-        # output values as the other modes.
-        wo = (Window.partitionBy("band", "key").orderBy(id_col)
-              .rowsBetween(Window.unboundedPreceding,
-                           Window.unboundedFollowing))
-        sized = (df.select(F.col(id_col), F.explode(bands).alias("bk"))
-                 .select(id_col, "bk.band", "bk.key")
-                 .filter(F.col("key") != empty_key)
-                 .select(F.col(id_col), "band", "key",
-                         F.count("*").over(wo).alias("_n"),
-                         F.first(id_col).over(wo).alias("_rep")))
-        buckets = sized.groupBy("band", "key").agg(
-            F.any_value("_rep").alias("rep"),
-            F.collect_list(F.when(F.col("_n") <= max_bucket,
-                                  F.col(id_col))).alias("m"),
-            F.collect_list(F.when(
-                (F.col("_n") > max_bucket) & (F.col(id_col) != F.col("_rep")),
-                F.col(id_col))).alias("hot"))
+        # doc's hash set at most twice (vs n_bands times). Same valve,
+        # same output values as the other modes.
+        #
+        # r07 restructure (same rows, leaner plan):
+        # - the per-bucket size/rep window is gone: ONE groupBy collects
+        #   the bare ids (m) + min id (rep) per bucket, and the
+        #   small-vs-hot split is decided on size(m) afterwards — drops
+        #   the window SORT and one full-frame pass over the exchange
+        #   (ids are at most 8 bytes/member either way, so a hot bucket
+        #   collecting k ids was already the slim form's memory shape);
+        # - the hash-set attach is pinned to BROADCAST the candidate
+        #   side: the r06 plan relied on AQE and actually broadcast the
+        #   WHOLE hs table on the second join (50k docs x ~130 hashes
+        #   ~ 50 MB; at corpus scale that side cannot broadcast at all
+        #   and would silently degrade to a sort-merge join shuffling
+        #   every hash set — exactly what slim exists to avoid). With
+        #   F.broadcast(cand) the big sides stream in place and only
+        #   the deduped near-dup pair list (+ one hash set per pair on
+        #   the second hop) is broadcast (guide §3.1/§8: move decisions,
+        #   not payloads).
+        buckets = (df.select(F.col(id_col), F.explode(bands).alias("bk"))
+                   .select(id_col, "bk.band", "bk.key")
+                   .filter(F.col("key") != empty_key)
+                   .groupBy("band", "key")
+                   .agg(F.collect_list(F.col(id_col)).alias("m"),
+                        F.min(id_col).alias("rep")))
         n = F.size("m")
         small_pairs = F.flatten(F.transform(
             F.sequence(F.lit(0), n - 2),
@@ -281,11 +298,13 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, n_hashes: int = 16,
                                ).alias("id_b")))))
         # rep is the bucket min id, so it is always the id_a side
         hot_pairs = F.transform(
-            "hot", lambda h: F.struct(F.col("rep").alias("id_a"),
-                                      h.alias("id_b")))
-        all_pairs = F.concat(
-            F.when(n >= 2, small_pairs).otherwise(F.slice(hot_pairs, 1, 0)),
-            hot_pairs)
+            F.filter("m", lambda x: x != F.col("rep")),
+            lambda h: F.struct(F.col("rep").alias("id_a"),
+                               h.alias("id_b")))
+        all_pairs = F.when(
+            n <= max_bucket,
+            F.when(n >= 2, small_pairs).otherwise(F.slice(hot_pairs, 1, 0))
+        ).otherwise(hot_pairs)
         cand = (buckets.select(F.explode(all_pairs).alias("p"))
                 .select("p.*").distinct())
         hs_tbl = df.select(F.col(id_col), "hs")
@@ -293,7 +312,8 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, n_hashes: int = 16,
                                F.col("hs").alias("_ha"))
         side_b = hs_tbl.select(F.col(id_col).alias("id_b"),
                                F.col("hs").alias("_hb"))
-        return (cand.join(side_a, "id_a").join(side_b, "id_b")
+        ab = side_a.join(F.broadcast(cand), "id_a")
+        return (side_b.join(F.broadcast(ab), "id_b")
                 .select("id_a", "id_b",
                         (F.size(F.array_intersect("_ha", "_hb"))
                          / F.size(F.array_union("_ha", "_hb"))

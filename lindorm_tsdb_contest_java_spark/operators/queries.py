@@ -173,9 +173,15 @@ def downsample(df: DataFrame, conv_id: str, column: str, lb_ms: int, ub_ms: int,
     # marker enforces "whole range empty -> empty result" without a collect
     marker = scoped.agg(F.count("*").alias("_any")).filter(F.col("_any") > 0)
     skeleton = spark.range(n_windows).select(F.col("id").alias("_w"))
+    # per_window is at most n_windows rows (one per non-empty window of a
+    # single conversation's range) — broadcast it explicitly: size
+    # ESTIMATES for an aggregate over a filtered scan are wildly wrong,
+    # so the planner picked a SortMergeJoin here (exchange + sort on both
+    # sides of a <=744-row join; r07 plan audit). BroadcastHashJoin drops
+    # both. Guide §3.1: hint when you KNOW the side is small.
     return (
         skeleton.crossJoin(F.broadcast(marker))
-        .join(per_window, "_w", "left")
+        .join(F.broadcast(per_window), "_w", "left")
         .select(
             F.lit(conv_id).alias("conv_id"),
             (F.lit(lb_ms) + F.col("_w") * F.lit(interval_ms)).alias("ts_ms"),

@@ -162,24 +162,34 @@ def canonicalize(
         part_cols = [F.col("conv_id")]
     else:
         raise ValueError(f"unknown grain {grain!r} (bucket|conv)")
+    # `_ch` (the raw conv hash, also the source of conv_bucket) leads every
+    # window partition spec below. Window groupings are unchanged — _ch and
+    # conv_bucket are functions of conv_id — but the required sort order
+    # becomes [_ch, bucket, conv, ...]: a full-entropy int64 first key
+    # means the sorter's 8-byte prefix comparison decides nearly every
+    # compare, where conv_id-first left all rows sharing the "conv-"
+    # prefix and every compare fell through to byte-wise string
+    # comparison (r07 measured: canonicalize noop 2.1 -> 1.7 s at 4M
+    # rows). conv_bucket stays in the spec so hashpartitioning(bucket)
+    # still satisfies the windows' clustering (no extra exchange).
     out = (
         df.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
         .withColumn("text_len", F.length("text"))
-        .withColumn("conv_bucket",
-                    F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"))
+        .withColumn("_ch", F.xxhash64("conv_id"))
+        .withColumn("conv_bucket", F.pmod(F.col("_ch"), F.lit(n_buckets)).cast("int"))
         .withColumn("time_chunk", F.floor(F.col("ts_us") / F.lit(chunk_us)))
         .repartition(*part_cols)
     )
     if dedup:
-        w = Window.partitionBy("conv_bucket", "conv_id", "turn_idx").orderBy(
-            F.col("ts").desc(), F.length("text").desc())
+        w = Window.partitionBy("_ch", "conv_bucket", "conv_id", "turn_idx").orderBy(
+            F.col("ts").desc(), F.col("text_len").desc())
         out = (out.withColumn("_rn", F.row_number().over(w))
                   .filter(F.col("_rn") == 1).drop("_rn"))
     out = out.withColumn(
         "latency_s",
         F.coalesce(
             (F.col("ts_us") - F.lag("ts_us").over(
-                Window.partitionBy("conv_bucket", "conv_id").orderBy("turn_idx")))
+                Window.partitionBy("_ch", "conv_bucket", "conv_id").orderBy("turn_idx")))
             / F.lit(1e6),
             F.lit(0.0),
         ),

@@ -601,3 +601,32 @@ def test_text_token_mode_roundtrip_and_adoption():
     big = [f"tok{i} tok{i+1} shared" for i in range(1500)]
     tok = _token_blob(pa.array(big, pa.string()), 3)
     assert list(text_decode(tok)) == big
+
+
+def test_text_token_gate_skips_only_unwinnable_blocks():
+    """r07 (ADVICE r06): text_encode's best-of chooser skips the token
+    candidate's zstd pass when the distinct-token ratio says it cannot
+    win. The gate must not change any adoption decision: word-redundant
+    blocks still pick tokens, high-entropy blocks produce exactly the
+    length-framed blob, and a forced _token_blob (no gate) still
+    round-trips the high-entropy block."""
+    import numpy as np
+    import pyarrow as pa
+    from lindorm_tsdb_contest_java_spark.functions.codecs.strings import (
+        TEXT_MODE_TOKENS, _token_blob, text_decode, text_encode,
+    )
+    # high-entropy: every token unique -> ratio 1.0 -> gate fires
+    uniq = [f"u{i:06x}token{i * 2654435761 % 997}" for i in range(2000)]
+    lens = np.array([len(s.encode()) for s in uniq], dtype=np.int64)
+    blob = text_encode(uniq, ext_lengths=lens)
+    assert blob[0] != TEXT_MODE_TOKENS
+    assert list(text_decode(blob, lengths=lens)) == uniq
+    # forced (gate_ratio=None): still a valid token blob
+    tok = _token_blob(pa.array(uniq, pa.string()), 3)
+    assert tok is not None and list(text_decode(tok)) == uniq
+    # word-redundant: ratio ~0 -> gate passes -> tokens still adopted
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    red = [" ".join(rng.choice(words, 10)) for _ in range(2000)]
+    rlens = np.array([len(s.encode()) for s in red], dtype=np.int64)
+    assert text_encode(red, ext_lengths=rlens)[0] == TEXT_MODE_TOKENS

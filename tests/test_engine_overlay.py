@@ -424,3 +424,50 @@ def test_latest_head_one_row_per_conv(spark, tmp_path):
     e.shutdown()
     assert e._latest_head() is not None
     assert e.execute_latest_query(None, ["text"]).count() == 8
+
+
+def test_latest_head_update_touches_only_batch_buckets(spark, tmp_path):
+    """r06 verdict "what's wrong" #2: head maintenance must be O(touched
+    buckets), not O(total convs). The head is conv_bucket-partitioned;
+    a flush touching one conversation replaces only that conversation's
+    bucket partition — every other bucket's head file survives
+    physically untouched (same manifest entry), and the read path
+    (stamp gate included) is unchanged."""
+    from lindorm_tsdb_contest_java_spark.operators.tiers import \
+        latest_from_tier
+    e = eng.connect(spark, str(tmp_path / "headscope"), n_buckets=4)
+    e.write(spark.createDataFrame(_rows(range(8), range(0, 6))))
+    e.shutdown()
+    head_tbl = e._pipeline.table("tier_latest_head")
+    snap1 = head_tbl.current()
+    files1 = {f["path"]: f["partition"].get("conv_bucket")
+              for f in snap1.files}
+    # every head file records its bucket partition
+    assert all(b is not None for b in files1.values()), files1
+
+    # second flush: ONE conversation extends (new chunk)
+    e.write(spark.createDataFrame(_rows(range(3, 4), range(6, 12),
+                                        day_shift=2)))
+    e.shutdown()
+    snap2 = head_tbl.current()
+    touched = {int(r[0]) for r in spark.createDataFrame(
+        [("ov-003",)], ["conv_id"]).select(
+        F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int")).collect()}
+    # the commit replaced exactly the touched bucket(s)
+    assert set(snap2.meta.get("partition_values", [])) == touched
+    files2 = {f["path"]: f["partition"].get("conv_bucket")
+              for f in snap2.files}
+    # untouched buckets: identical manifest entries (no rewrite)
+    for p, b in files1.items():
+        if b not in touched:
+            assert p in files2, (p, b, files2)
+    # touched bucket: file replaced
+    assert all(p not in files2 for p, b in files1.items() if b in touched)
+    # read path: still one row per conv, still equal to the tier argmax
+    assert head_tbl.read(spark).count() == 8
+    assert e._latest_head() is not None
+    got = sorted(map(str, e.execute_latest_query(
+        None, ["turn_idx", "ts_us"]).collect()))
+    want = sorted(map(str, latest_from_tier(
+        e._tier_latest.read(spark), None, ["turn_idx", "ts_us"]).collect()))
+    assert got == want

@@ -131,3 +131,45 @@ def test_single_conv_scan_pushes_conv_zone_filters(spark, seg_path):
     for col in ("conv_bucket", "conv_id_min", "conv_id_max",
                 "min_ts_us", "max_ts_us"):
         assert col in pushed, (col, pushed)
+
+
+def test_downsample_joins_broadcast_not_sortmerge(transcripts_df):
+    """r07: the window-skeleton left join attaches a <= n_windows-row
+    aggregate — it must be a broadcast join. Size estimates for an
+    aggregate over a filtered scan are unreliable, so without the
+    explicit hint the planner produced a SortMergeJoin (exchange + sort
+    on both sides of a few-hundred-row join)."""
+    canon = canonicalize(transcripts_df, n_buckets=8)
+    lb = 1_704_067_200_000
+    q = Q.downsample(canon, "conv-00000000", "text_len", lb,
+                     lb + 86_400_000, 3_600_000, "AVG", "GREATER", 10)
+    f = facts(q)
+    assert not f.has_sort_merge_join, f.plan
+    assert f.has_broadcast_join, f.plan
+
+
+def test_lsh_slim_hs_sides_prune_python_eval(spark):
+    """r06 verdict ask #4 (the pinnable half): in the slim LSH plan the
+    hash-set join sides must carry NO Python evaluation — column pruning
+    keeps the minhash UDF on the band side only — and the candidate side
+    must broadcast (the big, corpus-sized hs sides stream in place; at
+    scale a broadcast of the hs table or a sort-merge join here would
+    shuffle every hash set, the exact fat-shuffle slim exists to avoid)."""
+    import pandas as pd
+    from lindorm_tsdb_contest_java_spark.operators import datapipe as DP
+    pdf = pd.DataFrame({
+        "doc_id": range(40),
+        "text": [f"alpha beta gamma delta {i % 7} epsilon zeta eta theta"
+                 for i in range(40)],
+    })
+    docs = spark.createDataFrame(pdf)
+    sh = DP.with_shingles(DP.with_tokens(docs), n=3)
+    pairs = DP.lsh_candidate_pairs(DP.minhash_signatures(sh), "doc_id")
+    plan = facts(pairs).plan
+    # exactly one Python eval node: the minhash kernel on the band side
+    n_py = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
+    assert n_py == 1, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the band-bucket path needs no per-bucket window sort anymore
+    assert "Window" not in plan, plan
