@@ -566,14 +566,33 @@ class RollupPipeline:
             winners = latest_from_tier(
                 tier.join(F.broadcast(touched_convs), "conv_id",
                           "left_semi"), None, vcols)
-            scoped_old = (head_tbl.read(self.spark)
-                          .filter(F.col("conv_bucket").isin(buckets))
-                          .join(F.broadcast(touched_convs), "conv_id",
-                                "left_anti"))
-            head_tbl.overwrite_partitions_multi(
-                scoped_old.unionByName(winners.select(*scoped_old.columns)),
-                "conv_bucket", [int(b) for b in buckets],
-                meta=meta, sort_within=["conv_id"])
+            old = head_tbl.read(self.spark)
+            if len(buckets) * 2 <= self.n_buckets:
+                # NARROW batch (the streaming micro-batch regime the
+                # scoping exists for): read + replace only the touched
+                # buckets — O(total x touched/B), not O(total)
+                scoped_old = (old.filter(F.col("conv_bucket").isin(buckets))
+                              .join(F.broadcast(touched_convs), "conv_id",
+                                    "left_anti"))
+                head_tbl.overwrite_partitions_multi(
+                    scoped_old.unionByName(
+                        winners.select(*scoped_old.columns)),
+                    "conv_bucket", [int(b) for b in buckets],
+                    meta=meta, sort_within=["conv_id"])
+            else:
+                # WIDE batch (bulk load touching most buckets): a
+                # hash-spread batch covers every bucket, so "scoped"
+                # would rewrite the same rows as a full pass PLUS the
+                # many-small-partition write machinery (measured +0.6 s
+                # constant at 64 buckets) — do the straight full
+                # rewrite, partition-tracked so later narrow flushes
+                # stay scoped
+                head = (old.join(F.broadcast(touched_convs), "conv_id",
+                                 "left_anti")
+                        .unionByName(winners.select(*old.columns)))
+                head_tbl.overwrite_partitioned(head, "conv_bucket",
+                                               meta=meta,
+                                               sort_within=["conv_id"])
         else:
             # first flush on this store, or one-time migration of a
             # pre-partitioned head layout: full per-conv argmax seed,
@@ -615,15 +634,26 @@ class RollupPipeline:
         # O(total convs)
         buckets = sorted(r[0] for r in
                          new_rows.select("conv_bucket").distinct().collect())
-        head = (head_tbl.read(self.spark)
-                .filter(F.col("conv_bucket").isin(buckets)))
-        both = head.unionByName(new_rows.select(*head.columns))
-        merged = latest_from_tier(
-            both, None, [c for c in head.columns if c != "conv_id"])
-        head_tbl.overwrite_partitions_multi(
-            merged, "conv_bucket", [int(b) for b in buckets],
-            meta={"base_latest_snapshot": snap.snapshot_id},
-            sort_within=["conv_id"])
+        meta = {"base_latest_snapshot": snap.snapshot_id}
+        old = head_tbl.read(self.spark)
+        if len(buckets) * 2 <= self.n_buckets:
+            # narrow micro-batch: merge + replace the touched buckets only
+            head = old.filter(F.col("conv_bucket").isin(buckets))
+            both = head.unionByName(new_rows.select(*head.columns))
+            merged = latest_from_tier(
+                both, None, [c for c in head.columns if c != "conv_id"])
+            head_tbl.overwrite_partitions_multi(
+                merged, "conv_bucket", [int(b) for b in buckets],
+                meta=meta, sort_within=["conv_id"])
+        else:
+            # wide batch covers ~every bucket: full merge rewrite,
+            # partition-tracked (same rationale as _update_latest_head)
+            both = old.unionByName(new_rows.select(*old.columns))
+            merged = latest_from_tier(
+                both, None, [c for c in old.columns if c != "conv_id"])
+            head_tbl.overwrite_partitioned(merged, "conv_bucket",
+                                           meta=meta,
+                                           sort_within=["conv_id"])
         head_tbl.vacuum()
 
     def _cascade(self) -> None:
