@@ -436,6 +436,9 @@ def test_latest_head_update_touches_only_batch_buckets(spark, tmp_path):
     from lindorm_tsdb_contest_java_spark.operators.tiers import \
         latest_from_tier
     e = eng.connect(spark, str(tmp_path / "headscope"), n_buckets=4)
+    # force the partitioned layout: test stores are far below the
+    # size threshold at which it becomes the cheaper choice
+    e._pipeline.head_partition_min_rows = 0
     e.write(spark.createDataFrame(_rows(range(8), range(0, 6))))
     e.shutdown()
     head_tbl = e._pipeline.table("tier_latest_head")
