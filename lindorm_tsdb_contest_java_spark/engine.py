@@ -1083,28 +1083,49 @@ class TranscriptTSDB:
             return build_rate_tier(self._canonical(), MINUTE_MS)
         dirty = self._dirty_convs()
         merged = self._overlay_rows(dirty)
-        # the dirty convs' committed timestamps (old buckets): a
-        # ts-blob-only decode under the same bucket prune
+        # the dirty convs' committed rows in the tier-relevant columns
+        # (old buckets + their content signature), conv-zone pruned
         buckets = [int(r[0]) for r in dirty.select(
             F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets))
              .cast("int").alias("b")).distinct().collect()]
         old = (decode_segments(
                    self._read_segments()
                        .filter(F.col("conv_bucket").isin(buckets)),
-                   ["conv_id", "ts_us"])
+                   ["conv_id", "role", "tool", "ts_us", "latency_s"])
                .join(F.broadcast(dirty), "conv_id", "left_semi"))
         minute_us = MINUTE_MS * 1000
-        # distinct minute buckets of the dirty convs: bounded by their
+        # touched = buckets whose CONTENT actually changed, not every
+        # bucket a dirty conversation ever occupied (ADVICE r06 #4): a
+        # rate-tier cell is a pure function of its bucket's multiset of
+        # (role, tool, latency_s) rows — ts only routes, tdigest_build
+        # sorts its input — so per-bucket (count, hash-sum) signatures
+        # of the dirty convs' committed-OLD vs merged-NEW rows detect
+        # exactly the buckets whose cells can differ. One small upsert
+        # to a long-lived conversation now rebuilds only the buckets it
+        # altered (plus latency knock-on buckets, whose latency_s
+        # changes make their signatures differ), not the conversation's
+        # whole history. Decimal hash-sum: order-free and immune to
+        # ANSI long overflow (the chunk-fingerprint convention).
+        def _bucket_sig(df: DataFrame) -> DataFrame:
+            return (df.select(
+                        (F.floor(F.col("ts_us") / F.lit(minute_us))
+                         * F.lit(MINUTE_MS)).alias("bucket_ms"),
+                        F.xxhash64("role", "tool", "latency_s")
+                         .cast("decimal(38,0)").alias("_h"))
+                    .groupBy("bucket_ms")
+                    .agg(F.count("*").alias("_n"), F.sum("_h").alias("_s")))
+        o_sig, n_sig = _bucket_sig(old), _bucket_sig(merged)
+        # distinct changed minute buckets: bounded by the dirty convs'
         # time span in minutes, not their row count. The driver collect
-        # is CAPPED (straddle-set convention): a dirty set spanning more
-        # than 8192 distinct minutes keeps the bucket set as a DataFrame
-        # (semi-joins stay exact) and prunes the scan with just its
-        # [min, max] envelope — never an unbounded driver list.
-        touched_df = (merged.select("ts_us")
-                      .unionByName(old.select("ts_us"))
-                      .select((F.floor(F.col("ts_us") / F.lit(minute_us))
-                               * F.lit(MINUTE_MS)).alias("bucket_ms"))
-                      .distinct())
+        # is CAPPED (straddle-set convention): a changed set spanning
+        # more than 8192 distinct minutes keeps the bucket set as a
+        # DataFrame (semi-joins stay exact) and prunes the scan with
+        # just its [min, max] envelope — never an unbounded driver list.
+        touched_df = (o_sig.withColumnsRenamed({"_n": "_on", "_s": "_os"})
+                      .join(n_sig, "bucket_ms", "full")
+                      .filter(~(F.col("_on").eqNullSafe(F.col("_n"))
+                                & F.col("_os").eqNullSafe(F.col("_s"))))
+                      .select("bucket_ms"))
         capped = touched_df.limit(8193).collect()
         if not capped:
             return committed_tbl.read(self.spark).select(*self._RATE_COLS)
@@ -1143,10 +1164,18 @@ class TranscriptTSDB:
                              * F.lit(MINUTE_MS))
                  .join(F.broadcast(tb), "bucket_ms", "left_semi")
                  .select("role", "tool", "ts_us", "latency_s"))
+        # merged rows must be scoped to the touched buckets too: with the
+        # content-signature narrowing, a dirty conversation's rows in
+        # UNCHANGED buckets stay represented by the kept committed cells
+        # — feeding them to the rebuild as well would double-count them
+        merged_scoped = (merged
+                         .withColumn("bucket_ms",
+                                     F.floor(F.col("ts_us") / F.lit(minute_us))
+                                     * F.lit(MINUTE_MS))
+                         .join(F.broadcast(tb), "bucket_ms", "left_semi")
+                         .select("role", "tool", "ts_us", "latency_s"))
         rebuilt = build_rate_tier(
-            clean.unionByName(
-                merged.select("role", "tool", "ts_us", "latency_s")),
-            MINUTE_MS)
+            clean.unionByName(merged_scoped), MINUTE_MS)
         keep = (committed_tbl.read(self.spark)
                 .join(F.broadcast(tb), "bucket_ms", "left_anti")
                 .select(*self._RATE_COLS))

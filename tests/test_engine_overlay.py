@@ -474,3 +474,30 @@ def test_latest_head_update_touches_only_batch_buckets(spark, tmp_path):
     want = sorted(map(str, latest_from_tier(
         e._tier_latest.read(spark), None, ["turn_idx", "ts_us"]).collect()))
     assert got == want
+
+
+def test_percentile_noop_upsert_rebuilds_nothing(spark, tmp_path):
+    """r07 (ADVICE r06 #4): the ineligible-buffer rate rebuild compares
+    per-bucket content signatures (count + hash of (role, tool,
+    latency)) of the dirty conversations' committed vs merged rows, so
+    a buffer that changes NOTHING (an upsert byte-identical to a
+    committed row) touches zero buckets: the returned tier IS the
+    committed table — its plan contains no segment decode — and every
+    cell matches the committed one byte-for-byte."""
+    from lindorm_tsdb_contest_java_spark.plans.audit import facts
+    e = eng.connect(spark, str(tmp_path / "noopups"), n_buckets=4)
+    e.write(spark.createDataFrame(_rows(range(6), range(0, 8))))
+    e.shutdown()
+    dup = _rows(range(1, 2), range(3, 4))  # identical to a committed row
+    e.write(spark.createDataFrame(dup))
+    assert e._overlay_rate_tier() is None, "duplicate key must be ineligible"
+    tier = e._scoped_rate_tier()
+    plan = facts(tier).plan
+    assert "MapInArrow" not in plan and "ArrowEvalPython" not in plan, plan
+    committed = {(r["role"], r["tool"], r["bucket_ms"]):
+                 (r["n_turns"], r["latency_sum"], bytes(r["latency_digest"]))
+                 for r in e._pipeline.table("tier_rate_1m").read(spark).collect()}
+    got = {(r["role"], r["tool"], r["bucket_ms"]):
+           (r["n_turns"], r["latency_sum"], bytes(r["latency_digest"]))
+           for r in tier.collect()}
+    assert got == committed and committed
